@@ -1,0 +1,212 @@
+package graft.core
+
+import java.util.Locale
+import scala.collection.mutable
+
+/** Per-rule lineage record (SURVEY §1.4 output schema): which rule, whether
+  * it fired (fired == drop signal), the measured value, the threshold. */
+final case class RuleResult(rule: String, fired: Boolean,
+                            value: Double, threshold: Double)
+
+/** Gopher/C4-style document quality rules (Rae et al. 2021 App. A1.1;
+  * Raffel et al. 2020 §2.2). Pure per-document functions — no cross-row
+  * state, so the stage is embarrassingly parallel (SURVEY §2.11).
+  *
+  * Every rule emits a [[RuleResult]] into the output row's `rule_lineage`
+  * array — lineage is first-class data, the graft analog of the reference's
+  * `detected_as` token lineage (backend/pdf/PIIDetector.py:184-185,
+  * SURVEY §2.7 O5). `keep` = no rule fired.
+  */
+object Heuristics {
+
+  // Gopher word-count / word-shape thresholds
+  final val MinWords = 50
+  final val MaxWords = 100000
+  final val MinMeanWordLen = 3.0
+  final val MaxMeanWordLen = 10.0
+  final val MaxSymbolWordRatio = 0.1
+  final val MinAlphaWordRatio = 0.8
+  final val MinStopwords = 2.0
+  // Gopher line-shape thresholds
+  final val MaxBulletLineRatio = 0.9
+  final val MaxEllipsisLineRatio = 0.3
+  // Gopher repetition thresholds
+  final val MaxDupLineFraction = 0.30
+  final val MaxDupParaFraction = 0.30
+  final val MaxDupLineCharFraction = 0.20
+  final val MaxDupParaCharFraction = 0.20
+  final val MaxTopNGramCharFraction = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  final val MaxDupNGramCharFraction =
+    Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+  // C4 thresholds
+  final val MinSentences = 3
+
+  /** Rules expressible with plain string/arithmetic ops — these (and only
+    * these) are mirrored in the DuckDB oracle SQL (SURVEY §5.4.4). */
+  def basicRules(text: String): Vector[RuleResult] = {
+    val ws = Tokenizer.words(text)
+    val n = ws.length
+    val lower = text.toLowerCase(Locale.ROOT)
+
+    val meanWordLen =
+      if (n == 0) 0.0 else ws.iterator.map(_.length).sum.toDouble / n
+
+    var symbolCount = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '#' || c == '…') symbolCount += 1
+      // "..." counts as one ellipsis symbol
+      if (c == '.' && i + 2 < text.length && text.charAt(i + 1) == '.' &&
+          text.charAt(i + 2) == '.') { symbolCount += 1; i += 2 }
+      i += 1
+    }
+    val symbolRatio = if (n == 0) 0.0 else symbolCount.toDouble / n
+
+    val alphaWords = ws.count(w => w.exists(Character.isLetter))
+    val alphaRatio = if (n == 0) 0.0 else alphaWords.toDouble / n
+
+    val lowerWords = ws.iterator.map(_.toLowerCase(Locale.ROOT)).toSet
+    val stopCount = SeedCorpus.gopherStopwords.count(lowerWords.contains)
+
+    val hasLorem = if (lower.contains("lorem ipsum")) 1.0 else 0.0
+    val hasCurly = if (text.indexOf('{') >= 0) 1.0 else 0.0
+
+    var sentences = 0
+    i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '.' || c == '!' || c == '?' || c == '。') sentences += 1
+      i += 1
+    }
+
+    Vector(
+      RuleResult("word_count_min", n < MinWords, n.toDouble, MinWords.toDouble),
+      RuleResult("word_count_max", n > MaxWords, n.toDouble, MaxWords.toDouble),
+      RuleResult("mean_word_length_min", n > 0 && meanWordLen < MinMeanWordLen,
+        meanWordLen, MinMeanWordLen),
+      RuleResult("mean_word_length_max", meanWordLen > MaxMeanWordLen,
+        meanWordLen, MaxMeanWordLen),
+      RuleResult("symbol_to_word_ratio", symbolRatio > MaxSymbolWordRatio,
+        symbolRatio, MaxSymbolWordRatio),
+      RuleResult("alpha_word_ratio", n > 0 && alphaRatio < MinAlphaWordRatio,
+        alphaRatio, MinAlphaWordRatio),
+      RuleResult("stopword_count", stopCount < MinStopwords, stopCount.toDouble,
+        MinStopwords),
+      RuleResult("lorem_ipsum", hasLorem > 0, hasLorem, 0.0),
+      RuleResult("curly_brace", hasCurly > 0, hasCurly, 0.0),
+      RuleResult("min_sentence_count", sentences < MinSentences,
+        sentences.toDouble, MinSentences.toDouble))
+  }
+
+  /** Line-shape rules (lines split on '\n'; blank lines excluded). */
+  def lineRules(text: String): Vector[RuleResult] = {
+    val lines = text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toVector
+    val n = lines.length
+    def ratio(p: String => Boolean): Double =
+      if (n == 0) 0.0 else lines.count(p).toDouble / n
+    val bullet = ratio(l => l.startsWith("•") || l.startsWith("- ") ||
+      l.startsWith("* "))
+    val ellipsis = ratio(l => l.endsWith("...") || l.endsWith("…"))
+    Vector(
+      RuleResult("bullet_line_ratio", bullet > MaxBulletLineRatio, bullet,
+        MaxBulletLineRatio),
+      RuleResult("ellipsis_line_ratio", ellipsis > MaxEllipsisLineRatio,
+        ellipsis, MaxEllipsisLineRatio))
+  }
+
+  /** Gopher repetition rules: duplicate lines/paragraphs (count and char
+    * mass) + top/duplicated word n-gram char fractions. Definitions:
+    *
+    *   - dup_line_fraction: lines identical to an earlier line / lines
+    *   - dup_line_char_fraction: chars of those lines / total line chars
+    *   - top_k_gram_char_fraction: occurrences(most frequent k-gram) x
+    *     chars(k-gram incl. separators) / chars(full_text)
+    *   - dup_k_gram_char_fraction: sum over k-grams with count >= 2 of
+    *     count x chars / chars(full_text), capped at 1.0
+    */
+  def repetitionRules(text: String): Vector[RuleResult] = {
+    val out = Vector.newBuilder[RuleResult]
+
+    def dupStats(units: IndexedSeq[String]): (Double, Double) = {
+      if (units.isEmpty) return (0.0, 0.0)
+      val seen = mutable.HashSet[String]()
+      var dupCount = 0
+      var dupChars = 0L
+      var totalChars = 0L
+      units.foreach { u =>
+        totalChars += u.length
+        if (!seen.add(u)) { dupCount += 1; dupChars += u.length }
+      }
+      (dupCount.toDouble / units.length,
+        if (totalChars == 0) 0.0 else dupChars.toDouble / totalChars)
+    }
+
+    val lines = text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toIndexedSeq
+    val paras = text.split("\n\n").iterator.map(_.trim).filter(_.nonEmpty).toIndexedSeq
+    val (dupLineFrac, dupLineCharFrac) = dupStats(lines)
+    val (dupParaFrac, dupParaCharFrac) = dupStats(paras)
+    out += RuleResult("dup_line_fraction", dupLineFrac > MaxDupLineFraction,
+      dupLineFrac, MaxDupLineFraction)
+    out += RuleResult("dup_para_fraction", dupParaFrac > MaxDupParaFraction,
+      dupParaFrac, MaxDupParaFraction)
+    out += RuleResult("dup_line_char_fraction",
+      dupLineCharFrac > MaxDupLineCharFraction, dupLineCharFrac,
+      MaxDupLineCharFraction)
+    out += RuleResult("dup_para_char_fraction",
+      dupParaCharFrac > MaxDupParaCharFraction, dupParaCharFrac,
+      MaxDupParaCharFraction)
+
+    val ws = Tokenizer.words(text).map(_.toLowerCase(Locale.ROOT))
+    val totalChars = math.max(1, text.length).toDouble
+
+    def ngramCounts(k: Int): mutable.HashMap[Long, (Int, Int)] = {
+      // hash -> (occurrences, charLen of the n-gram incl. k-1 separators)
+      val m = mutable.HashMap[Long, (Int, Int)]()
+      if (ws.length >= k) {
+        var i = 0
+        while (i + k <= ws.length) {
+          var h = 0x9e3779b97f4a7c15L
+          var len = k - 1
+          var j = i
+          while (j < i + k) {
+            h = NGramLM.combine(h, NGramLM.hashWord(ws(j)))
+            len += ws(j).length
+            j += 1
+          }
+          val prev = m.getOrElse(h, (0, len))
+          m.update(h, (prev._1 + 1, len))
+          i += 1
+        }
+      }
+      m
+    }
+
+    (2 to 4).foreach { k =>
+      val m = ngramCounts(k)
+      val top = if (m.isEmpty) 0.0 else {
+        val (_, (c, len)) = m.maxBy { case (h, (c, len)) => (c, len, -h) }
+        if (c < 2) 0.0 else math.min(1.0, c.toDouble * len / totalChars)
+      }
+      val t = MaxTopNGramCharFraction(k)
+      out += RuleResult(s"top_${k}gram_char_fraction", top > t, top, t)
+    }
+    (5 to 10).foreach { k =>
+      val m = ngramCounts(k)
+      var dupChars = 0.0
+      m.valuesIterator.foreach { case (c, len) =>
+        if (c >= 2) dupChars += c.toDouble * len
+      }
+      val v = math.min(1.0, dupChars / totalChars)
+      val t = MaxDupNGramCharFraction(k)
+      out += RuleResult(s"dup_${k}gram_char_fraction", v > t, v, t)
+    }
+    out.result()
+  }
+
+  /** All heuristic rules, fixed order (stable lineage schema). */
+  def evaluate(text: String): Vector[RuleResult] =
+    basicRules(text) ++ lineRules(text) ++ repetitionRules(text)
+
+  def keep(rules: Seq[RuleResult]): Boolean = !rules.exists(_.fired)
+}

@@ -1,0 +1,167 @@
+package graft.core
+
+import java.util.Locale
+import scala.collection.mutable
+
+/** KenLM-style word trigram language model with stupid backoff
+  * (Heafield 2011 for the hashed-n-gram storage layout; Brants et al. 2007
+  * for stupid backoff — the standard web-scale simplification of Katz).
+  *
+  * Counts live in open-addressed Long→Int maps keyed by 64-bit FNV-1a
+  * hashes of the joined token window (the KenLM "probing hash table" idea
+  * re-expressed on JVM primitives, zero boxing on the hot path).
+  *
+  * One model per language, synthesized deterministically from
+  * [[SeedCorpus]] (seed fixed, sequential math) — bit-identical scores
+  * across JVMs and parallelism levels. Models are a few MB total and are
+  * reached through the JVM-singleton / broadcast pattern (SURVEY §2.8).
+  */
+final class NGramLM private (
+    val lang: String,
+    uni: NGramLM.LongCounter,
+    bi: NGramLM.LongCounter,
+    tri: NGramLM.LongCounter,
+    totalUnigrams: Long,
+    vocabSize: Int) {
+
+  import NGramLM._
+
+  /** log10 P(w_i | w_{i-2}, w_{i-1}) with stupid backoff (alpha = 0.4).
+    * h1 = hash(w_{i-1}), h12 = combined hash of (w_{i-2}, w_{i-1}). */
+  private def logProb(h1: Long, h12: Long, w: Long): Double = {
+    val cTri = tri.get(combine(h12, w))
+    if (cTri > 0) {
+      val cBi = bi.get(h12)
+      if (cBi > 0) return math.log10(cTri.toDouble / cBi)
+    }
+    val cBi2 = bi.get(combine(h1, w))
+    if (cBi2 > 0) {
+      val cUni = uni.get(h1)
+      if (cUni > 0) return Log10Alpha + math.log10(cBi2.toDouble / cUni)
+    }
+    val cW = uni.get(w)
+    // add-one smoothed unigram floor
+    2 * Log10Alpha + math.log10((cW + 1.0) / (totalUnigrams + vocabSize + 1.0))
+  }
+
+  /** Perplexity = 10^(-mean log10 prob) over the token stream (lowercased). */
+  def perplexity(tokens: IndexedSeq[String]): Double = {
+    if (tokens.isEmpty) return PerplexityEmpty
+    var h2 = BosHash // w_{i-2}
+    var h1 = BosHash // w_{i-1}
+    var h12 = combine(BosHash, BosHash)
+    var sum = 0.0
+    var i = 0
+    while (i < tokens.length) {
+      val w = hashWord(tokens(i).toLowerCase(Locale.ROOT))
+      sum += logProb(h1, h12, w)
+      h2 = h1; h1 = w; h12 = combine(h2, h1)
+      i += 1
+    }
+    math.pow(10.0, -sum / tokens.length)
+  }
+
+  def perplexityOfText(text: String): Double =
+    perplexity(Tokenizer.words(text))
+}
+
+object NGramLM {
+
+  final val PerplexityEmpty = 1e9
+  private final val Log10Alpha = math.log10(0.4)
+  private final val BosHash = hashWord("<s>")
+
+  /** FNV-1a 64-bit of a word. */
+  def hashWord(w: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < w.length) {
+      val c = w.charAt(i)
+      h = (h ^ (c & 0xff)) * 0x100000001b3L
+      h = (h ^ ((c >> 8) & 0xff)) * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Order-sensitive combination of two 64-bit hashes. */
+  def combine(a: Long, b: Long): Long = {
+    var h = a ^ 0x9e3779b97f4a7c15L
+    h = (h ^ (b >>> 32)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (b & 0xffffffffL)) * 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
+  /** Minimal open-addressed Long→Int counter (power-of-two capacity). */
+  final class LongCounter(initialCapacity: Int) {
+    private var cap = Integer.highestOneBit(math.max(16, initialCapacity) * 2)
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Int](cap)
+    private var used = new Array[Boolean](cap)
+    private var size = 0
+
+    private def idx(k: Long, c: Int): Int = (combine(k, 0x5bd1e995L) & (c - 1)).toInt
+
+    def add(k: Long, v: Int): Unit = {
+      if (size * 4 >= cap * 3) grow()
+      var i = idx(k, cap)
+      while (used(i) && keys(i) != k) i = (i + 1) & (cap - 1)
+      if (!used(i)) { used(i) = true; keys(i) = k; size += 1 }
+      vals(i) += v
+    }
+
+    def get(k: Long): Int = {
+      var i = idx(k, cap)
+      while (used(i)) {
+        if (keys(i) == k) return vals(i)
+        i = (i + 1) & (cap - 1)
+      }
+      0
+    }
+
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals; val ou = used; val oc = cap
+      cap <<= 1
+      keys = new Array[Long](cap); vals = new Array[Int](cap)
+      used = new Array[Boolean](cap); size = 0
+      var i = 0
+      while (i < oc) {
+        if (ou(i)) add(ok(i), ov(i))
+        i += 1
+      }
+    }
+  }
+
+  /** Fit a trigram LM from a token stream. */
+  def fit(lang: String, tokens: IndexedSeq[String]): NGramLM = {
+    val uni = new LongCounter(1 << 12)
+    val bi = new LongCounter(1 << 14)
+    val tri = new LongCounter(1 << 16)
+    val distinct = mutable.HashSet[Long]()
+    var h2 = BosHash
+    var h1 = BosHash
+    var i = 0
+    while (i < tokens.length) {
+      val w = hashWord(tokens(i).toLowerCase(Locale.ROOT))
+      uni.add(w, 1)
+      bi.add(combine(h1, w), 1)
+      tri.add(combine(combine(h2, h1), w), 1)
+      distinct += w
+      h2 = h1; h1 = w
+      i += 1
+    }
+    // history-context counts for denominators
+    uni.add(BosHash, 1)
+    new NGramLM(lang, uni, bi, tri, tokens.length.toLong, distinct.size)
+  }
+
+  /** Per-language models, one deterministic fit per JVM. */
+  lazy val models: Map[String, NGramLM] =
+    SeedCorpus.languages.zipWithIndex.map { case (lang, li) =>
+      lang -> fit(lang, SeedCorpus.corpus(lang, 60000, seed = 1000L + li))
+    }.toMap
+
+  /** Perplexity under the model of `lang` (unknown lang → en model). */
+  def perplexity(text: String, lang: String): Double =
+    models.getOrElse(lang, models("en")).perplexityOfText(text)
+}

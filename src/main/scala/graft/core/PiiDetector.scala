@@ -1,0 +1,184 @@
+package graft.core
+
+import java.util.regex.Pattern
+import scala.collection.mutable.ArrayBuffer
+
+/** Fused multi-pattern PII scanner.
+  *
+  * Re-expresses the reference's single-pass combined-alternation design
+  * (backend/pdf/PIIDetector.py:49-95: "This is the core of the efficiency")
+  * on `java.util.regex`. Semantics replicated exactly:
+  *
+  *   - one precompiled pattern, named group per PII type, alternation in
+  *     precedence order — first-match-wins at each position (both Python
+  *     `re` and Java `Pattern` are leftmost-first, not longest-match);
+  *   - `finditer` = leftmost non-overlapping; scan resumes at match end;
+  *   - `re.IGNORECASE` on a Python 3 `str` is Unicode-aware for `\d \b \s`
+  *     and casefolding → Java needs CASE_INSENSITIVE | UNICODE_CASE |
+  *     UNICODE_CHARACTER_CLASS for webtext parity (SURVEY §7.5.1).
+  *
+  * Java named groups cannot contain '_', so groups are named g0..gN in
+  * [[PiiType.ordered]] order; attribution checks which named group is
+  * non-null (the analog of Python's `match.lastgroup`,
+  * backend/pdf/PIIDetector.py:84-86).
+  */
+object PiiDetector {
+
+  /** Ordered pattern table (reference: backend/pdf/PIIDetector.py:25-47;
+    * phone/email regexes pinned by backend/tests/test_PIIDetector.py:196-261). */
+  val patterns: IndexedSeq[(PiiType, String)] = IndexedSeq(
+    PiiType.Ssn               -> """\d{3}-\d{2}-\d{4}""",
+    PiiType.RoutingNumber     -> """\b\d{9}\b""",
+    PiiType.AccountNumber     -> """\b\d{10,17}\b""",
+    PiiType.CreditScore       -> """credit score:\s*\d{3}""",
+    PiiType.CreditScoreRating -> """credit report:\s*(very good|good|excellent|fair|poor|bad)""",
+    PiiType.CreditCardNumber  -> """\b(?:\d{4}[ -]?){3}\d{4}\b""",
+    PiiType.PhoneNumber       -> """\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}""",
+    PiiType.Email             -> """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}""",
+    PiiType.Ipv4              -> """\b(?:\d{1,3}\.){3}\d{1,3}\b""")
+
+  private val flags =
+    Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE | Pattern.UNICODE_CHARACTER_CLASS
+
+  private def compileCombined(table: IndexedSeq[(PiiType, String)]): Pattern = {
+    val alternation = table.zipWithIndex
+      .map { case ((_, pat), i) => s"(?<g$i>$pat)" }
+      .mkString("|")
+    Pattern.compile(alternation, flags)
+  }
+
+  /** Precompiled once per JVM/executor — the analog of the reference's
+    * class-load-time `re.compile` (backend/pdf/PIIDetector.py:63-68). */
+  val combined: Pattern = compileCombined(patterns)
+
+  /** Reference-parity subset (SSN..credit card only) for golden tests. */
+  val combinedReference: Pattern = compileCombined(patterns.take(6))
+
+  /** Leftmost, non-overlapping scan with per-alternative attribution.
+    * Mirrors `_extract_direct_piis` (backend/pdf/PIIDetector.py:80-95). */
+  def scan(text: String, pattern: Pattern = combined,
+           nGroups: Int = patterns.length): Vector[PiiMatch] = {
+    val out = new ArrayBuffer[PiiMatch]()
+    val m = pattern.matcher(text)
+    while (m.find()) {
+      var i = 0
+      var done = false
+      while (i < nGroups && !done) {
+        // Exactly one top-level named group participates per match; the
+        // rating pattern's inner unnamed group shifts numeric indices, so
+        // attribution goes through the group *names*.
+        if (m.start(s"g$i") >= 0) {
+          out += PiiMatch(m.group(s"g$i"), m.start(s"g$i"), m.end(s"g$i"),
+                          PiiType.ordered(i))
+          done = true
+        }
+        i += 1
+      }
+    }
+    out.toVector
+  }
+
+  /** Bug-compatible refinement (reference: backend/pdf/PIIDetector.py:97-131;
+    * effective semantics decoded in SURVEY §2.4 D2).
+    *
+    * The reference *intends* to trim the "credit score:" / "credit report:"
+    * labels out of the span, but indexes the match-relative `match.text`
+    * with the document-absolute `start_index` — mixing coordinate spaces.
+    * We replicate the effective behavior exactly, including the degenerate
+    * near-document-start paths:
+    *
+    *   - CREDIT_SCORE: walk `start` forward while `start < len(text)` and
+    *     `text[start]` is not a digit — a no-op whenever the match starts
+    *     at document offset >= its own length (so label + value both stay
+    *     in the span and the label gets redacted; golden masked-01).
+    *   - CREDIT_SCORE_RATING: `start += 14` unconditionally (correct by
+    *     accident: "credit report:" is 14 chars), then skip whitespace
+    *     while `start < len(text)` — again indexing match text with the
+    *     absolute offset.
+    *
+    * Python `str.isdigit`/`str.isspace` are approximated by
+    * `Character.isDigit`/`Character.isWhitespace`; they agree on the ASCII
+    * range these labeled patterns can produce.
+    */
+  def refine(matches: Vector[PiiMatch]): Vector[PiiMatch] = matches.map { mt =>
+    mt.piiType match {
+      case PiiType.CreditScore =>
+        val n = mt.text.length
+        var s = mt.start
+        while (s < n && !Character.isDigit(mt.text.charAt(s))) s += 1
+        mt.copy(start = s)
+      case PiiType.CreditScoreRating =>
+        val n = mt.text.length
+        var s = mt.start + 14
+        while (s < n && Character.isWhitespace(mt.text.charAt(s))) s += 1
+        mt.copy(start = s)
+      case _ => mt
+    }
+  }
+
+  /** scan + refine + stable sort by start (backend/pdf/PIIDetector.py:133-140). */
+  def extract(text: String, pattern: Pattern = combined,
+              nGroups: Int = patterns.length): Vector[PiiMatch] =
+    refine(scan(text, pattern, nGroups)).sortBy(_.start)(Ordering.Int)
+
+  /** Reference-subset extract, for golden-fixture parity tests. */
+  def extractReference(text: String): Vector[PiiMatch] =
+    extract(text, combinedReference, 6)
+
+  /** Span→token join, first-match-wins.
+    *
+    * Document-local nested loop (reference: backend/pdf/PIIDetector.py:167-189):
+    * for each token, the first (lowest-start, matches pre-sorted) overlapping
+    * PII labels it, then `break`. Partial overlap labels the *whole* token.
+    * Both sides live in one row — deliberately zero-shuffle (SURVEY §2.5).
+    */
+  def spanJoin(tokens: IndexedSeq[WordToken],
+               matches: IndexedSeq[PiiMatch]): IndexedSeq[WordToken] =
+    tokens.map { t =>
+      if (t.detectedAs.isDefined) t
+      else matches.collectFirst {
+        case m if t.overlaps(m.start, m.end) => m.piiType.value
+      } match {
+        case Some(v) => t.copy(detectedAs = Some(v))
+        case None    => t
+      }
+    }
+
+  /** Deterministic text scrub — the graft's analog of the reference's
+    * black-box redaction annotations (backend/pdf/PDFRedactor.py:84-120),
+    * masking text instead of pixels.
+    *
+    * Contract (golden-tested, byte-stable across runs/parallelism):
+    * `scrubbed_text` is `full_text` with every labeled token's character
+    * range replaced by the literal `[PII:<label>]`, where `<label>` is the
+    * reference's enum value string. Unlabeled text is copied verbatim.
+    */
+  def scrub(fullText: String, labeled: IndexedSeq[WordToken]): String = {
+    val sb = new java.lang.StringBuilder(fullText.length + 16)
+    var pos = 0
+    labeled.foreach { t =>
+      t.detectedAs match {
+        case Some(label) =>
+          if (t.start > pos) sb.append(fullText, pos, t.start)
+          sb.append("[PII:").append(label).append("]")
+          pos = t.end
+        case None => ()
+      }
+    }
+    if (pos < fullText.length) sb.append(fullText, pos, fullText.length)
+    sb.toString
+  }
+
+  /** Full document-local detection pipeline over pre-extracted text:
+    * tokenize (offset contract) → scan/refine/sort → span join → scrub.
+    * Returns (fullText, matches, labeledTokens, scrubbedText).
+    */
+  def detectAndScrub(text: String, referenceOnly: Boolean = false)
+      : (String, Vector[PiiMatch], IndexedSeq[WordToken], String) = {
+    val (fullText, tokens) = Tokenizer.tokenize(text)
+    val matches =
+      if (referenceOnly) extractReference(fullText) else extract(fullText)
+    val labeled = spanJoin(tokens, matches)
+    (fullText, matches, labeled, scrub(fullText, labeled))
+  }
+}

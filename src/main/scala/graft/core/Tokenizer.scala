@@ -1,0 +1,53 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Word tokenizer with the reference's running-offset contract.
+  *
+  * The reference rebuilds `full_text` from a word stream (PyMuPDF words,
+  * backend/pdf/PDFAdapter.py:167-241): blank words are skipped *before*
+  * index assignment (:213-216), words are joined by exactly one space
+  * (:220), `end = start + len(word)` half-open (:218), `start = prev_end+1`
+  * (:234), offsets continue across pages (:203-204), and the trailing space
+  * is stripped (:239). Given the same word stream the output is
+  * byte-deterministic — that is the "byte-identical extracted text per url"
+  * contract (BASELINE.json input_hint).
+  *
+  * For webtext, the word stream is the input `text` split on Unicode
+  * whitespace runs. The rebuilt `full_text` is therefore the canonical
+  * single-space-normalized form of the page text, and every token is a
+  * single contiguous `[start, end)` view into it (SURVEY §1.3).
+  */
+object Tokenizer {
+
+  /** Split `text` into non-blank words on `Character.isWhitespace` runs.
+    * Single forward pass, no regex — deterministic and allocation-light. */
+  def words(text: String): IndexedSeq[String] = {
+    val out = new ArrayBuffer[String]()
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      val w0 = i
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > w0) out += text.substring(w0, i)
+    }
+    out.toIndexedSeq
+  }
+
+  /** Rebuild (fullText, tokens-with-offsets) per the reference contract. */
+  def tokenize(text: String): (String, IndexedSeq[WordToken]) = {
+    val ws = words(text)
+    val sb = new java.lang.StringBuilder(text.length)
+    val toks = new ArrayBuffer[WordToken](ws.length)
+    var start = 0
+    ws.foreach { w =>
+      val end = start + w.length
+      if (sb.length > 0) sb.append(' ')
+      sb.append(w)
+      toks += WordToken(w, start, end)
+      start = end + 1
+    }
+    (sb.toString, toks.toIndexedSeq)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.core
+
+import org.scalacheck.{Gen, Prop, Properties}
+import Prop.forAll
+
+/** Property-based coverage for the document-local kernel (SURVEY §5.4.3):
+  * tokenizer round-trip, segment-slice identity, overlap algebra, scrub
+  * idempotence, detection offset-stability under concatenation.
+  * Runs under sbt's native ScalaCheck test framework.
+  */
+object CoreProps extends Properties("graft.core") {
+
+  private val textGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumStr.suchThat(_.nonEmpty), Gen.const(" "), Gen.const("\n"),
+    Gen.const("\t"), Gen.const("#!?."), Gen.const("  "))).map(_.mkString)
+
+  property("token round-trip: join(tokens,' ') == full_text") =
+    forAll(textGen) { text =>
+      val (full, toks) = Tokenizer.tokenize(text)
+      toks.map(_.text).mkString(" ") == full
+    }
+
+  property("segment slice equals token text") =
+    forAll(textGen) { text =>
+      val (full, toks) = Tokenizer.tokenize(text)
+      toks.forall(t => full.substring(t.start, t.end) == t.text)
+    }
+
+  property("tokenization idempotent on rebuilt text") =
+    forAll(textGen) { text =>
+      val (full, _) = Tokenizer.tokenize(text)
+      Tokenizer.tokenize(full)._1 == full
+    }
+
+  private val spanGen: Gen[(Int, Int)] = for {
+    s <- Gen.choose(0, 50)
+    len <- Gen.choose(1, 10)
+  } yield (s, s + len)
+
+  property("overlap is symmetric and half-open") =
+    forAll(spanGen, spanGen) { case ((a0, a1), (b0, b1)) =>
+      val expected = a0 < b1 && b0 < a1
+      WordToken("t", a0, a1).overlaps(b0, b1) == expected &&
+        WordToken("u", b0, b1).overlaps(a0, a1) == expected
+    }
+
+  private val piiWordGen: Gen[String] = Gen.oneOf(
+    "alpha", "123-45-6789", "beta", "987654321", "user@example.com", "text")
+
+  property("scrub is idempotent") =
+    forAll(Gen.listOf(piiWordGen)) { ws =>
+      val text = ws.mkString(" ")
+      val once = PiiDetector.detectAndScrub(text)._4
+      PiiDetector.detectAndScrub(once)._4 == once
+    }
+
+  property("prefix detection offsets stable under concatenation") =
+    forAll(Gen.listOf(piiWordGen), Gen.listOf(piiWordGen)) { (a, b) =>
+      val ta = a.mkString(" ")
+      val tb = b.mkString(" ")
+      val combined =
+        if (ta.isEmpty) tb else if (tb.isEmpty) ta else ta + " " + tb
+      val msA = PiiDetector.extract(ta)
+      val msAll = PiiDetector.extract(combined)
+      msA.forall(m => msAll.exists(m2 => m2.start == m.start && m2.text == m.text))
+    }
+}

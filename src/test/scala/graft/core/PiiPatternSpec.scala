@@ -1,0 +1,169 @@
+package graft.core
+
+import java.util.regex.Pattern
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-pattern vector tables ported verbatim from
+  * /root/reference/backend/tests/test_PIIDetector.py (valid/invalid vectors,
+  * boundary-embedding cases, combined-pattern attribution) — the early
+  * detector for Python-`re` vs Java-`Pattern` divergence (SURVEY §7.5.1).
+  */
+class PiiPatternSpec extends AnyFunSuite {
+
+  private val flags = Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE |
+    Pattern.UNICODE_CHARACTER_CLASS
+
+  private def pat(t: PiiType): Pattern =
+    Pattern.compile(PiiDetector.patterns.find(_._1 == t).get._2, flags)
+
+  private def firstMatch(p: Pattern, text: String): Option[String] = {
+    val m = p.matcher(text)
+    if (m.find()) Some(m.group()) else None
+  }
+
+  test("SSN vectors (test_PIIDetector.py:20-46)") {
+    val p = pat(PiiType.Ssn)
+    Seq("123-45-6789", "987-65-4321", "000-00-0000").foreach { s =>
+      assert(firstMatch(p, s).contains(s), s)
+    }
+    Seq("12-345-6789", "123-456-789", "123456789", "123-45-678a",
+        "123-4a-6789").foreach { s =>
+      assert(firstMatch(p, s).isEmpty, s)
+    }
+  }
+
+  test("routing number vectors incl. boundary embedding (:48-91)") {
+    val p = pat(PiiType.RoutingNumber)
+    Seq("123456789", "987654321", "000000000").foreach { s =>
+      assert(firstMatch(p, s).contains(s), s)
+    }
+    Seq("12345678", "1234567890", "123456789a").foreach { s =>
+      assert(firstMatch(p, s).isEmpty, s)
+    }
+    assert(firstMatch(p, "Account: 123456789 Balance").contains("123456789"))
+    assert(firstMatch(p, "ID: 000123456789").isEmpty)
+    assert(firstMatch(p, "123456789000").isEmpty)
+    assert(firstMatch(p, "The routing number is 123456789.").contains("123456789"))
+  }
+
+  test("account number vectors (:93-133)") {
+    val p = pat(PiiType.AccountNumber)
+    Seq("1234567890", "12345678901234567", "123456789012345").foreach { s =>
+      assert(firstMatch(p, s).contains(s), s)
+    }
+    Seq("123456789", "123456789012345678", "12345678a0").foreach { s =>
+      assert(firstMatch(p, s).isEmpty, s)
+    }
+    assert(firstMatch(p, "Account: 1234567890 Type").contains("1234567890"))
+  }
+
+  test("credit score vectors (:135-163)") {
+    val p = pat(PiiType.CreditScore)
+    Seq("credit score: 750", "Credit Score: 680", "credit score:720",
+        "Credit Score:  800").foreach { s =>
+      assert(firstMatch(p, s).contains(s), s)
+    }
+    Seq("credit score: 75", "score: 750", "credit rating: 750").foreach { s =>
+      assert(firstMatch(p, s).isEmpty, s)
+    }
+  }
+
+  test("credit score rating vectors (:165-194)") {
+    val p = pat(PiiType.CreditScoreRating)
+    Seq("credit report: good", "Credit Report: Very Good",
+        "Credit Report:Excellent", "Credit Report:     fair").foreach { s =>
+      assert(firstMatch(p, s).contains(s), s)
+    }
+    assert(firstMatch(p, "credit report: 750").isEmpty)
+  }
+
+  test("phone number vectors (stale-but-specifying suite :196-227)") {
+    val p = pat(PiiType.PhoneNumber)
+    Seq("1234567890", "123-456-7890", "123.456.7890", "123 456 7890",
+        "(123)456-7890", "(123) 456-7890", "(123)4567890").foreach { s =>
+      assert(firstMatch(p, s).contains(s), s)
+    }
+    Seq("12345678", "123-45-67890", "123-456-789a", "abc-def-ghij").foreach { s =>
+      assert(firstMatch(p, s).isEmpty, s)
+    }
+  }
+
+  test("email vectors (:229-261)") {
+    val p = pat(PiiType.Email)
+    Seq("user@example.com", "test.email@domain.org", "user+tag@example.co.uk",
+        "user_name@example-domain.com", "123@example.com",
+        "user@sub.domain.com").foreach { s =>
+      assert(firstMatch(p, s).contains(s), s)
+    }
+    Seq("userexample.com", "@example.com", "user@", "user@.com",
+        "user@example", "user@example.c").foreach { s =>
+      assert(firstMatch(p, s).isEmpty, s)
+    }
+  }
+
+  test("credit card vectors (:263-290)") {
+    val p = pat(PiiType.CreditCardNumber)
+    Seq("1234567890123456", "1234 5678 9012 3456", "1234-5678-9012-3456")
+      .foreach { s => assert(firstMatch(p, s).contains(s), s) }
+    Seq("123456789012345", "12345678901234567", "1234-5678-9012-345a",
+        "1234 5678 9012 345").foreach { s =>
+      assert(firstMatch(p, s).isEmpty, s)
+    }
+  }
+
+  test("combined-pattern attribution (:292-314)") {
+    val cases = Seq(
+      ("My SSN is 123-45-6789.", PiiType.Ssn, "123-45-6789"),
+      ("Routing: 123456789", PiiType.RoutingNumber, "123456789"),
+      ("Account: 123456789012", PiiType.AccountNumber, "123456789012"),
+      ("Credit Score: 750", PiiType.CreditScore, "Credit Score: 750"),
+      ("Credit report: Excellent", PiiType.CreditScoreRating,
+        "Credit report: Excellent"),
+      ("Card: 4111 1111 1111 1111", PiiType.CreditCardNumber,
+        "4111 1111 1111 1111"),
+      ("Phone: (123) 456-7890", PiiType.PhoneNumber, "(123) 456-7890"),
+      ("Email: test@example.com", PiiType.Email, "test@example.com"))
+    cases.foreach { case (text, tpe, value) =>
+      val ms = PiiDetector.scan(text)
+      assert(ms.nonEmpty, text)
+      assert(ms.head.piiType == tpe, s"$text -> ${ms.head}")
+      assert(ms.head.text == value, text)
+    }
+  }
+
+  test("graft addition: IPv4 vectors") {
+    val p = pat(PiiType.Ipv4)
+    Seq("192.168.1.1", "10.0.0.255", "8.8.8.8").foreach { s =>
+      assert(firstMatch(p, s).contains(s), s)
+    }
+    Seq("1.2.3", "a.b.c.d", "1..2.3.4").foreach { s =>
+      assert(firstMatch(p, s).isEmpty, s)
+    }
+    // attribution: IP must not be shadowed by phone across dots
+    val ms = PiiDetector.scan("server at 192.168.100.254 responded")
+    assert(ms.map(m => (m.piiType, m.text)) ==
+      Vector((PiiType.Ipv4, "192.168.100.254")))
+  }
+
+  test("finditer semantics: leftmost non-overlapping, resume at match end") {
+    // SSN consumes its 11 chars; the embedded ROUTING candidate never emits
+    val ms = PiiDetector.scan("x 123-45-6789 y 123456789 z")
+    assert(ms.map(_.piiType) == Vector(PiiType.Ssn, PiiType.RoutingNumber))
+    // ordered alternation, first-match-wins at a position:
+    // bare 16 digits -> ACCOUNT (prio 3 beats CARD)
+    assert(PiiDetector.scan("1234567890123456").head.piiType ==
+      PiiType.AccountNumber)
+    // separated groups -> CREDIT_CARD (routing/account \b fail)
+    assert(PiiDetector.scan("1234 5678 9012 3456").head.piiType ==
+      PiiType.CreditCardNumber)
+  }
+
+  test("unicode parity traps: arabic-indic digits, NBSP") {
+    // Python \d matches U+0660..9; Java needs UNICODE_CHARACTER_CLASS
+    val arabicSsn = "١٢٣-٤٥-٦٧٨٩"
+    assert(PiiDetector.scan(arabicSsn).exists(_.piiType == PiiType.Ssn))
+    // \s with UNICODE_CHARACTER_CLASS matches NBSP, like Python
+    assert(PiiDetector.scan("credit score: 750")
+      .exists(_.piiType == PiiType.CreditScore))
+  }
+}
