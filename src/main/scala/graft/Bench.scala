@@ -1,24 +1,127 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver bench harness: one JSON line
+  * `{"metric":…,"value":…,"unit":"sec","queries":{…},"sf":…}`.
+  *
+  * Primary measurement (BASELINE.md): end-to-end quality-filter pipeline
+  * (langid + perplexity + heuristics + scrub) docs/sec over the synthetic
+  * pages table at four parallelism levels — local[4/8/16/32], the sandbox
+  * stand-in for cluster sizes — on the SAME materialized input. Reports
+  * docs/sec per level and the two N→4N scaling-efficiency pairs:
+  *
+  *   - 4→16: both levels leave host headroom — the clean evidence for the
+  *     north-rule N vs 4N criterion;
+  *   - 8→32: the top level saturates every host vCPU and measurably incurs
+  *     hypervisor steal (reported via /proc/stat jiffies), so it
+  *     understates true scaling; reported alongside for completeness.
+  *
+  * Methodology: one throwaway full-parallelism warmup session (32-way JIT
+  * warmth measured necessary — without it the first high-parallelism run
+  * reads ~3x slow), then per level one warmup pass + best-of-2 timed
+  * passes; scan → pipeline → noop write (forces all columns, no collect).
+  */
 object Bench {
+
+  private val BenchDocs: Long =
+    sys.env.get("SPARK_GRAFT_BENCH_DOCS").map(_.toLong).getOrElse(400000L)
+
+  private def session(cpus: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.expr.GraftExtensions)
+      .getOrCreate()
+  }
+
+  private def stealJiffies: Long =
+    try {
+      val first = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      first.trim.split("\\s+")(8).toLong
+    } catch { case _: Throwable => 0L }
+
+  private def runPipeline(spark: SparkSession, pagesPath: String): Double = {
+    val t0 = System.nanoTime()
+    graft.pipeline.QualityPipeline(spark.read.parquet(pagesPath))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+    // 1. materialize the deterministic pages table once (64 splits)
+    val pagesPath = s"target/bench_pages_$BenchDocs"
+    if (!Files.exists(Paths.get(pagesPath, "_SUCCESS"))) {
+      val s = session(cpus)
+      s.sparkContext.setLogLevel("WARN")
+      graft.model.PagesSynth.pages(s, BenchDocs, 64, validated = false)
+        .write.mode("overwrite").parquet(pagesPath)
+      s.stop()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // 2. global JIT warmup at full parallelism (throwaway session)
+    locally {
+      val s = session(cpus)
+      s.sparkContext.setLogLevel("WARN")
+      runPipeline(s, pagesPath)
+      runPipeline(s, pagesPath)
+      s.stop()
+    }
+
+    // 3. timed pipeline at each parallelism level (same input, hot JVM)
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val times = scala.collection.mutable.LinkedHashMap[Int, Double]()
+    val steals = scala.collection.mutable.LinkedHashMap[Int, Long]()
+    Seq(4, 8, 16, 32).foreach { level =>
+      val s = session(level)
+      s.sparkContext.setLogLevel("WARN")
+      runPipeline(s, pagesPath) // per-session warmup
+      val st0 = stealJiffies
+      val t = math.min(runPipeline(s, pagesPath), runPipeline(s, pagesPath))
+      steals(level) = stealJiffies - st0
+      times(level) = t
+      results(s"pipeline_local$level") = t
+      s.stop()
+    }
+
+    // 4. headline per-operator queries at full parallelism on sfDir
+    locally {
+      val s = session(cpus)
+      s.sparkContext.setLogLevel("WARN")
+      Seq("d1_pii_counts", "j2_scrub", "langid_pred", "perplexity_score",
+        "heuristics_basic", "dedup_exact", "dedup_minhash_pairs",
+        "knn_bruteforce", "events_window", "q1_agg", "q2_join_topn",
+        "q3_window_topk").foreach { name =>
+        val q0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(s, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          results(name) = (System.nanoTime() - q0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            results(name) = -1.0
+        }
+      }
+      s.stop()
+    }
+
+    def eff(n: Int, n4: Int): Double = (times(n) * n) / (times(n4) * n4)
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val dps = Seq(4, 8, 16, 32).map(l =>
+      f""""docs_per_sec_local$l":${BenchDocs / times(l)}%.1f""").mkString(",")
+    println(
+      f"""{"metric":"pipeline_e2e_local32","value":${times(32)}%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_docs":$BenchDocs,$dps,"scaling_efficiency_4_to_16":${eff(4, 16)}%.3f,"scaling_efficiency_8_to_32":${eff(8, 32)}%.3f,"steal_jiffies_local16":${steals(16)},"steal_jiffies_local32":${steals(32)}}""")
   }
 }

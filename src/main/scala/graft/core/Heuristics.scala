@@ -41,9 +41,12 @@ object Heuristics {
   // C4 thresholds
   final val MinSentences = 3
 
-  /** Rules expressible with plain string/arithmetic ops — these (and only
-    * these) are mirrored in the DuckDB oracle SQL (SURVEY §5.4.4). */
-  def basicRules(text: String): Vector[RuleResult] = {
+  /** Rules expressible with plain string/arithmetic ops — the
+    * lang-independent subset is mirrored in the DuckDB oracle SQL
+    * (SURVEY §5.4.4). The stopword rule is lang-aware: the Gopher list for
+    * en, vocab-head function words otherwise (English stopwords would drop
+    * every non-English page). */
+  def basicRules(text: String, lang: String = "en"): Vector[RuleResult] = {
     val ws = Tokenizer.words(text)
     val n = ws.length
     val lower = text.toLowerCase(Locale.ROOT)
@@ -67,7 +70,7 @@ object Heuristics {
     val alphaRatio = if (n == 0) 0.0 else alphaWords.toDouble / n
 
     val lowerWords = ws.iterator.map(_.toLowerCase(Locale.ROOT)).toSet
-    val stopCount = SeedCorpus.gopherStopwords.count(lowerWords.contains)
+    val stopCount = SeedCorpus.stopwordsFor(lang).count(lowerWords.contains)
 
     val hasLorem = if (lower.contains("lorem ipsum")) 1.0 else 0.0
     val hasCurly = if (text.indexOf('{') >= 0) 1.0 else 0.0
@@ -205,8 +208,8 @@ object Heuristics {
   }
 
   /** All heuristic rules, fixed order (stable lineage schema). */
-  def evaluate(text: String): Vector[RuleResult] =
-    basicRules(text) ++ lineRules(text) ++ repetitionRules(text)
+  def evaluate(text: String, lang: String = "en"): Vector[RuleResult] =
+    basicRules(text, lang) ++ lineRules(text) ++ repetitionRules(text)
 
   def keep(rules: Seq[RuleResult]): Boolean = !rules.exists(_.fired)
 }

@@ -1,0 +1,62 @@
+package graft.core
+
+/** Deterministic HTML → text extraction for rows that arrive with `html`
+  * only (the graft analog of the reference's image-PDF → OCR branch,
+  * backend/pdf/PDFRedactor.py:73-81: cheap predicate gates the expensive
+  * extract). Single pass, no external parser: drops <script>/<style>
+  * subtrees, strips tags, decodes the common entities. The output feeds
+  * the same tokenizer contract, so extracted text is byte-deterministic
+  * per input (BASELINE.json input_hint invariant).
+  */
+object HtmlText {
+
+  def extract(html: String): String = {
+    val n = html.length
+    val sb = new java.lang.StringBuilder(n / 2)
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        val close = html.indexOf('>', i + 1)
+        if (close < 0) { i = n } // truncated tag: drop remainder
+        else {
+          val tag = html.substring(i + 1, close).trim.toLowerCase(java.util.Locale.ROOT)
+          val name = tag.takeWhile(ch => ch.isLetter)
+          if (name == "script" || name == "style") {
+            val end = html.toLowerCase(java.util.Locale.ROOT)
+              .indexOf(s"</$name", close)
+            i = if (end < 0) n else {
+              val e2 = html.indexOf('>', end)
+              if (e2 < 0) n else e2 + 1
+            }
+          } else {
+            // block-ish tags become line breaks so line rules still work
+            if (name == "p" || name == "br" || name == "div" || name == "li" ||
+                name == "tr" || (name.length == 2 && name(0) == 'h' &&
+                name(1).isDigit)) sb.append('\n')
+            else sb.append(' ')
+            i = close + 1
+          }
+        }
+      } else if (c == '&') {
+        val semi = html.indexOf(';', i + 1)
+        if (semi > 0 && semi - i <= 8) {
+          html.substring(i + 1, semi) match {
+            case "amp" => sb.append('&')
+            case "lt" => sb.append('<')
+            case "gt" => sb.append('>')
+            case "quot" => sb.append('"')
+            case "apos" | "#39" => sb.append('\'')
+            case "nbsp" => sb.append(' ')
+            case other if other.startsWith("#") =>
+              try sb.appendCodePoint(Integer.parseInt(other.drop(1)))
+              catch { case _: NumberFormatException => sb.append(' ') }
+            case _ => sb.append(' ')
+          }
+          i = semi + 1
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

@@ -61,8 +61,11 @@ final class NGramLM private (
     math.pow(10.0, -sum / tokens.length)
   }
 
+  /** Tokens are letter-normalized (punctuation stripped, lowercased by the
+    * scorer) so sentence punctuation doesn't register as OOV. */
   def perplexityOfText(text: String): Double =
-    perplexity(Tokenizer.words(text))
+    perplexity(Tokenizer.words(text)
+      .map(w => w.filter(Character.isLetter)).filter(_.nonEmpty))
 }
 
 object NGramLM {

@@ -81,9 +81,22 @@ object SeedCorpus {
     "en" -> en.toIndexedSeq, "fr" -> fr.toIndexedSeq, "es" -> es.toIndexedSeq,
     "de" -> de.toIndexedSeq, "zh" -> zh.toIndexedSeq)
 
-  /** Gopher stopword list (Rae et al. 2021, App. A1.1). */
+  /** Gopher stopword list (Rae et al. 2021, App. A1.1) — English. */
   val gopherStopwords: Set[String] =
     Set("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-language stopword lists for the lang-aware stopword rule: the
+    * Gopher list for en; the highest-frequency function words (vocab head)
+    * for the other languages. */
+  val stopwords: Map[String, Set[String]] = Map(
+    "en" -> gopherStopwords,
+    "fr" -> vocab("fr").take(12).toSet,
+    "es" -> vocab("es").take(12).toSet,
+    "de" -> vocab("de").take(12).toSet,
+    "zh" -> vocab("zh").take(12).toSet)
+
+  def stopwordsFor(lang: String): Set[String] =
+    stopwords.getOrElse(lang, gopherStopwords)
 
   /** Deterministic Zipf-ish word sampler: rank-weighted choice driven by a
     * caller-owned java.util.Random (LCG — platform-independent). */

@@ -1,0 +1,241 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core._
+
+/** Custom Catalyst expressions for the quality-filter engine.
+  *
+  * Design (SURVEY §2.8): these are native `Expression`s, not Scala UDFs —
+  * they ride inside whole-stage codegen via `CodegenFallback`, their
+  * pattern/model state is JVM-singleton (`graft.core` lazy vals compile
+  * once per executor, the analog of the reference's class-load-time
+  * `re.compile`, backend/pdf/PIIDetector.py:63-68), and they are
+  * null-intolerant (null in → null out) so Catalyst can reason about them.
+  *
+  * `regexp_extract_all` cannot express the fused scan because it has no
+  * per-alternative attribution and no offsets — hence [[PiiExtractAll]]
+  * (SURVEY §2.8 rationale).
+  */
+object GraftSchemas {
+  val matchStruct: StructType = StructType(Seq(
+    StructField("pii_type", StringType, nullable = false),
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  val tokenStruct: StructType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false),
+    StructField("detected_as", StringType, nullable = true)))
+
+  val ruleStruct: StructType = StructType(Seq(
+    StructField("rule", StringType, nullable = false),
+    StructField("fired", BooleanType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("threshold", DoubleType, nullable = false)))
+
+  val piiProcessStruct: StructType = StructType(Seq(
+    StructField("full_text", StringType, nullable = false),
+    StructField("scrubbed_text", StringType, nullable = false),
+    StructField("pii_matches", ArrayType(matchStruct, containsNull = false),
+      nullable = false),
+    StructField("n_redacted", IntegerType, nullable = false)))
+
+  val langStruct: StructType = StructType(Seq(
+    StructField("lang", StringType, nullable = false),
+    StructField("conf", DoubleType, nullable = false)))
+
+  def matchesToCatalyst(ms: Seq[PiiMatch]): ArrayData =
+    new GenericArrayData(ms.map { m =>
+      InternalRow(UTF8String.fromString(m.piiType.value), m.start, m.end,
+        UTF8String.fromString(m.text))
+    }.toArray[Any])
+
+  def rulesToCatalyst(rs: Seq[RuleResult]): ArrayData =
+    new GenericArrayData(rs.map { r =>
+      InternalRow(UTF8String.fromString(r.rule), r.fired, r.value, r.threshold)
+    }.toArray[Any])
+}
+
+/** Base for string-input expressions evaluated via the core kernel. */
+abstract class StringKernelExpression extends UnaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+}
+
+/** `graft_extract_text(text)` — canonical full_text rebuild (G1 contract:
+  * blank-skip, single-space rejoin; byte-identical per input). */
+case class ExtractText(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(Tokenizer.tokenize(v.asInstanceOf[UTF8String].toString)._1)
+  override protected def withNewChildInternal(c: Expression): ExtractText = copy(c)
+  override def prettyName: String = "graft_extract_text"
+}
+
+/** `graft_pii_extract(full_text)` — fused multi-pattern scan + refine +
+  * sort; ARRAY<STRUCT<pii_type,start,end,text>> (D1-D3). */
+case class PiiExtractAll(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType =
+    ArrayType(GraftSchemas.matchStruct, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    GraftSchemas.matchesToCatalyst(
+      PiiDetector.extract(v.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): PiiExtractAll = copy(c)
+  override def prettyName: String = "graft_pii_extract"
+}
+
+/** `graft_pii_process(text)` — the whole document-local redaction pipeline
+  * in one pass: tokenize → scan/refine/sort → span join → scrub.
+  * STRUCT<full_text, scrubbed_text, pii_matches, n_redacted>. */
+case class PiiProcess(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = GraftSchemas.piiProcessStruct
+  override def nullSafeEval(v: Any): Any = {
+    val (full, matches, labeled, scrubbed) =
+      PiiDetector.detectAndScrub(v.asInstanceOf[UTF8String].toString)
+    InternalRow(
+      UTF8String.fromString(full),
+      UTF8String.fromString(scrubbed),
+      GraftSchemas.matchesToCatalyst(matches),
+      labeled.count(_.detectedAs.isDefined))
+  }
+  override protected def withNewChildInternal(c: Expression): PiiProcess = copy(c)
+  override def prettyName: String = "graft_pii_process"
+}
+
+/** `graft_pii_tokens(text)` — labeled token lineage:
+  * ARRAY<STRUCT<text,start,end,detected_as>> (J1-J2 output). */
+case class PiiTokens(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType =
+    ArrayType(GraftSchemas.tokenStruct, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val (_, _, labeled, _) =
+      PiiDetector.detectAndScrub(v.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(labeled.map { t =>
+      InternalRow(UTF8String.fromString(t.text), t.start, t.end,
+        t.detectedAs.map(UTF8String.fromString).orNull)
+    }.toArray[Any])
+  }
+  override protected def withNewChildInternal(c: Expression): PiiTokens = copy(c)
+  override def prettyName: String = "graft_pii_tokens"
+}
+
+/** `graft_langid(text)` — STRUCT<lang, conf> from the broadcast-free
+  * JVM-singleton profile table (per-executor init). */
+case class LangIdExpr(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = GraftSchemas.langStruct
+  override def nullSafeEval(v: Any): Any = {
+    val (lang, conf) = LangId.predict(v.asInstanceOf[UTF8String].toString)
+    InternalRow(UTF8String.fromString(lang), conf)
+  }
+  override protected def withNewChildInternal(c: Expression): LangIdExpr = copy(c)
+  override def prettyName: String = "graft_langid"
+}
+
+/** `graft_perplexity(text, lang)` — trigram stupid-backoff perplexity under
+  * the per-language LM (unknown lang → en model). */
+case class PerplexityExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes = Seq(StringType, StringType)
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(t: Any, l: Any): Any =
+    NGramLM.perplexity(t.asInstanceOf[UTF8String].toString,
+      l.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PerplexityExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_perplexity"
+}
+
+/** `graft_quality_rules(text, lang)` — full Gopher/C4 rule lineage:
+  * ARRAY<STRUCT<rule,fired,value,threshold>>. The stopword rule is
+  * lang-aware (per-language stopword lists). */
+case class QualityRules(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes = Seq(StringType, StringType)
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    ArrayType(GraftSchemas.ruleStruct, containsNull = false)
+  override def nullSafeEval(t: Any, l: Any): Any =
+    GraftSchemas.rulesToCatalyst(
+      Heuristics.evaluate(t.asInstanceOf[UTF8String].toString,
+        l.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QualityRules =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_quality_rules"
+}
+
+/** `graft_html_text(html)` — deterministic HTML→text extraction for
+  * html-only rows (P1 branch analog). BINARY (UTF-8) or STRING input. */
+case class HtmlTextExpr(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  // accepts BINARY (UTF-8) or STRING; no ExpectsInputTypes because
+  // TypeCollection is private[sql] in Spark 4
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = {
+    val s = v match {
+      case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      case u: UTF8String => u.toString
+    }
+    UTF8String.fromString(HtmlText.extract(s))
+  }
+  override protected def withNewChildInternal(c: Expression): HtmlTextExpr = copy(c)
+  override def prettyName: String = "graft_html_text"
+}
+
+/** `graft_word_count(text)` — tokenizer-contract word count (BIGINT). */
+case class WordCount(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Tokenizer.words(v.asInstanceOf[UTF8String].toString).length.toLong
+  override protected def withNewChildInternal(c: Expression): WordCount = copy(c)
+  override def prettyName: String = "graft_word_count"
+}
+
+/** `graft_minhash(text)` — MinHash signature, ARRAY<BIGINT>(128). */
+case class MinHashSig(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(Dedup.minHashSignature(v.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(c)
+  override def prettyName: String = "graft_minhash"
+}
+
+/** `graft_lsh_bands(text)` — LSH band keys (32 bands x 4 rows), ARRAY<BIGINT>. */
+case class LshBands(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(Dedup.lshBandKeys(
+      Dedup.minHashSignature(v.asInstanceOf[UTF8String].toString)))
+  override protected def withNewChildInternal(c: Expression): LshBands = copy(c)
+  override def prettyName: String = "graft_lsh_bands"
+}
+
+/** `graft_simhash(text)` — 64-bit SimHash (BIGINT). */
+case class SimHashExpr(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Dedup.simHash(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(c)
+  override def prettyName: String = "graft_simhash"
+}
+
+/** `graft_fingerprint(text)` — rolling-hash document fingerprint (BIGINT). */
+case class FingerprintExpr(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Dedup.fingerprint(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): FingerprintExpr = copy(c)
+  override def prettyName: String = "graft_fingerprint"
+}

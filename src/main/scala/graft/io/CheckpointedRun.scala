@@ -1,0 +1,117 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Resumable batch execution with per-partition progress manifests and
+  * per-stage metrics (SURVEY §7.6; BASELINE.json: "checkpoints
+  * per-partition progress and metrics so a killed run resumes without
+  * recomputation").
+  *
+  * The precedent is the reference's OCR response cache
+  * (backend/pdf/PDFAdapter.py:104-127): an expensive stage keyed by a
+  * stable identity, where a hit replays the stored result instead of
+  * recomputing. Here the unit is a *logical partition* —
+  * `pmod(xxhash64(url), P)` — so membership is a pure function of the row
+  * (stable under any input re-partitioning), outputs land in
+  * deterministic per-partition directories, and the manifest is written
+  * only after the partition's output commits (write-then-rename, so a
+  * kill can never leave a manifest without its data).
+  *
+  * Resume: list completed manifests, process only the missing partitions.
+  * Metrics: one JSON manifest per (run, partition) with row counters from
+  * `Dataset.observe` per stage (langid / perplexity / heuristics / scrub)
+  * plus wall time — the O4 commit-log analog, queryable as a table via
+  * [[metricsTable]].
+  */
+object CheckpointedRun {
+
+  final case class PartitionResult(partition: Int, rows: Long, skipped: Boolean)
+
+  private def progressDir(root: String, runId: String) =
+    Paths.get(root, "_progress", s"run=$runId")
+
+  def completedPartitions(root: String, runId: String): Set[Int] = {
+    val d = progressDir(root, runId)
+    if (!Files.exists(d)) Set.empty
+    else Files.list(d).iterator().asScala.map(_.getFileName.toString)
+      .collect { case s if s.startsWith("partition=") && s.endsWith(".json") =>
+        s.stripPrefix("partition=").stripSuffix(".json").toInt }
+      .toSet
+  }
+
+  /** Run `transform` over `input` split into `numPartitions` logical
+    * partitions by `keyCol`; completed partitions are skipped on resume.
+    * `failAfter` (test hook) aborts after that many fresh partitions —
+    * the "killed run" of the resume test (SURVEY §5.4.6).
+    */
+  def run(spark: SparkSession, input: DataFrame, keyCol: String,
+          transform: DataFrame => DataFrame, root: String, runId: String,
+          numPartitions: Int = 8,
+          failAfter: Int = Int.MaxValue): Seq[PartitionResult] = {
+    Files.createDirectories(progressDir(root, runId))
+    val done = completedPartitions(root, runId)
+    var fresh = 0
+    (0 until numPartitions).map { k =>
+      if (done.contains(k)) PartitionResult(k, -1, skipped = true)
+      else {
+        if (fresh >= failAfter)
+          throw new RuntimeException(s"injected failure before partition $k")
+        fresh += 1
+        val t0 = System.nanoTime()
+        val part = input.filter(
+          pmod(xxhash64(col(keyCol)), lit(numPartitions)) === k)
+        val out = transform(part)
+        val outPath = Paths.get(root, s"run=$runId", s"partition=$k").toString
+        out.write.mode("overwrite").parquet(outPath)
+
+        // per-stage metrics from the committed output (one cheap scan of
+        // the partition's own parquet — no recompute of the pipeline)
+        val written = spark.read.parquet(outPath)
+        val m = written.agg(
+          count(lit(1)).as("rows"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          sum(col("n_redacted").cast("long")).as("scrub_n_redacted"),
+          sum(when(col("lang_conf") < lit(graft.model.PagesSynth.LangConfMin),
+            1L).otherwise(0L)).as("langid_n_low_conf"),
+          sum(when(col("perplexity") > lit(graft.model.PagesSynth.PerplexityMax),
+            1L).otherwise(0L)).as("perplexity_n_high"),
+          sum(size(filter(col("rule_lineage"), r => r("fired"))).cast("long"))
+            .as("heuristics_n_fired")).collect()(0)
+        val rows = m.getLong(0)
+        val wall = (System.nanoTime() - t0) / 1e9
+
+        val manifest =
+          s"""{"run_id":"$runId","partition":$k,"rows":$rows,
+             |"n_keep":${m.getLong(1)},
+             |"stages":{"scrub":{"n_redacted":${m.getLong(2)}},
+             |"langid":{"n_low_conf":${m.getLong(3)}},
+             |"perplexity":{"n_high":${m.getLong(4)}},
+             |"heuristics":{"n_fired":${m.getLong(5)}}},
+             |"wall_sec":$wall}""".stripMargin.replace("\n", "")
+        // write-then-rename: manifest appears only after data committed
+        val tmp = progressDir(root, runId).resolve(s"partition=$k.tmp")
+        Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, progressDir(root, runId).resolve(s"partition=$k.json"),
+          StandardCopyOption.ATOMIC_MOVE)
+        PartitionResult(k, rows, skipped = false)
+      }
+    }
+  }
+
+  /** Read the final output of a (possibly resumed) run. */
+  def output(spark: SparkSession, root: String, runId: String): DataFrame =
+    spark.read.parquet(Paths.get(root, s"run=$runId").toString + "/partition=*")
+
+  /** The metrics manifests as a queryable DataFrame (metrics table, O4). */
+  def metricsTable(spark: SparkSession, root: String, runId: String): DataFrame = {
+    val d = progressDir(root, runId)
+    val files = Files.list(d).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json")).map(_.toString).toSeq
+    spark.read.json(files: _*)
+  }
+}

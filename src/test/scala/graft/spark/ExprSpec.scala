@@ -1,0 +1,83 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Expression-layer gates: SQL registration (extensions + registry), null
+  * propagation, catalyst schema shape, plan shape (no shuffles in the
+  * per-row stages, expressions visible in the plan).
+  */
+class ExprSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("graft_* functions callable from SQL (extensions-injected)") {
+    val r = spark.sql(
+      """SELECT graft_langid('the quick brown fox and all of that') AS lid,
+        |  graft_word_count('a b c') AS wc,
+        |  graft_pii_process('ssn 123-45-6789 here').scrubbed_text AS scrub,
+        |  graft_perplexity('the of and to be', 'en') AS ppl,
+        |  size(graft_quality_rules('x', 'en')) AS n_rules,
+        |  graft_extract_text('  a   b ') AS ext
+        |""".stripMargin).head()
+    assert(r.getStruct(0).getString(0) == "en")
+    assert(r.getLong(1) == 3L)
+    assert(r.getString(2) == "ssn [PII:SSN] here")
+    assert(r.getDouble(3) > 1.0)
+    assert(r.getInt(4) >= 20)
+    assert(r.getString(5) == "a b")
+  }
+
+  test("null propagation: null text -> null outputs, no crash") {
+    val df = Seq((1L, Option.empty[String]), (2L, Some("ok text here")))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+      graft.expr.GraftFunctions.pii_process(col("text")).as("p"),
+      graft.expr.GraftFunctions.langid(col("text")).as("l"),
+      graft.expr.GraftFunctions.word_count(col("text")).as("wc"))
+      .orderBy("id").collect()
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2) && out(0).isNullAt(3))
+    assert(!out(1).isNullAt(1))
+  }
+
+  test("pii schema shape matches SURVEY §1.4 output contract") {
+    val df = Seq("call (415) 555-0199 now").toDF("text")
+      .select(graft.expr.GraftFunctions.pii_process(col("text")).as("p"))
+    val st = df.schema("p").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(st.fieldNames.toSeq ==
+      Seq("full_text", "scrubbed_text", "pii_matches", "n_redacted"))
+    val m = df.select(explode(col("p.pii_matches")).as("m"))
+      .select("m.pii_type", "m.start", "m.end", "m.text").head()
+    assert(m.getString(0) == "Phone Number")
+    assert(m.getInt(1) == 5 && m.getInt(2) == 19)
+  }
+
+  test("pipeline plan is shuffle-free and codegen'd up to the sink") {
+    val out = graft.pipeline.QualityPipeline(
+      graft.model.PagesSynth.pages(spark, 50, 2))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "per-row pipeline must not shuffle:\n" +
+      plan.take(1500))
+    // WSCG spans render as "*(n)" in executedPlan.toString; the projects
+    // holding CodegenFallback expressions sit outside them by design
+    assert(plan.contains("*("), plan.take(1500))
+    assert(plan.contains("graft_pii_process") || plan.contains("piiprocess"),
+      plan.take(1500))
+  }
+
+  test("html extraction expression handles binary, string-ish, broken input") {
+    val df = Seq(
+      ("<html><body><p>hello &amp; world</p><script>x()</script></body>",
+        1L),
+      ("no tags at all", 2L),
+      ("<unclosed", 3L)).toDF("h", "id")
+    val out = df.select(col("id"),
+      graft.expr.GraftFunctions.html_text(encode(col("h"), "utf-8")).as("t"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1).contains("hello & world"))
+    assert(!out(0).getString(1).contains("x()"))
+    assert(out(1).getString(1) == "no tags at all")
+    assert(out(2).getString(1) == "")
+  }
+}

@@ -1,0 +1,123 @@
+package graft.spark
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{CheckpointedRun, IcebergStyleTable}
+import graft.model.PagesSynth
+import graft.pipeline.QualityPipeline
+
+/** IO layer gates: Iceberg-style layout + snapshot commit, salted
+  * partitioned write, partition pruning, checkpoint/resume with zero
+  * recomputation (SURVEY §5.4.6, §7.4, §7.6).
+  */
+class IcebergIoSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("iceberg-style append: layout, snapshot json, version hint, read-back") {
+    val root = tmpDir("iceberg")
+    val df = QualityPipeline(PagesSynth.pages(spark, 300, 4))
+    val snap = IcebergStyleTable.append(df, root,
+      Seq("part_date", "host_bucket"), saltCol = "url", saltBuckets = 8,
+      shufflePartitions = 4)
+    assert(snap.version == 1)
+    assert(snap.rowCount == 300)
+    assert(snap.files.nonEmpty)
+    assert(snap.files.forall(_.contains("part_date=")))
+    assert(IcebergStyleTable.currentVersion(root) == 1)
+    assert(Files.exists(Paths.get(root, "metadata", "snap-1.json")))
+    assert(Files.exists(Paths.get(root, "metadata", "v1.metadata.json")))
+
+    val back = IcebergStyleTable.read(spark, root)
+    assert(back.count() == 300)
+    // partition columns recovered from the hive layout
+    assert(back.columns.contains("part_date") &&
+      back.columns.contains("host_bucket"))
+
+    // second snapshot appends, version advances, both snapshots listed
+    IcebergStyleTable.append(QualityPipeline(PagesSynth.pages(spark, 100, 2))
+      .filter(col("url").endsWith("7")), root,
+      Seq("part_date", "host_bucket"), "url", 8, 4)
+    assert(IcebergStyleTable.currentVersion(root) == 2)
+    assert(IcebergStyleTable.snapshots(root) == Seq(1, 2))
+    assert(IcebergStyleTable.read(spark, root).count() > 300)
+  }
+
+  test("partition pruning reaches the scan (PushedFilters/partition dirs)") {
+    val root = tmpDir("prune")
+    val df = QualityPipeline(PagesSynth.pages(spark, 300, 4))
+    IcebergStyleTable.append(df, root, Seq("part_date", "host_bucket"),
+      "url", 8, 4)
+    val pruned = IcebergStyleTable.read(spark, root)
+      .filter(col("host_bucket") === 3)
+    val plan = pruned.queryExecution.executedPlan.toString
+    // partition filters appear as PartitionFilters on the FileScan
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("host_bucket"), plan.take(2000))
+    assert(pruned.count() ==
+      IcebergStyleTable.read(spark, root)
+        .collect().count(_.getAs[Int]("host_bucket") == 3))
+  }
+
+  test("checkpointed run: kill after k partitions, resume recomputes only the rest") {
+    val root = tmpDir("resume")
+    val runId = "r1"
+    val input = PagesSynth.pages(spark, 400, 4)
+    val transform = (df: org.apache.spark.sql.DataFrame) => QualityPipeline(df)
+
+    // killed run: fails after 3 fresh partitions
+    intercept[RuntimeException] {
+      CheckpointedRun.run(spark, input, "url", transform, root, runId,
+        numPartitions = 8, failAfter = 3)
+    }
+    val done1 = CheckpointedRun.completedPartitions(root, runId)
+    assert(done1.size == 3, s"expected 3 completed, got $done1")
+
+    // resume: completed partitions are skipped (zero recomputation)
+    val results = CheckpointedRun.run(spark, input, "url", transform, root,
+      runId, numPartitions = 8)
+    assert(results.count(_.skipped) == 3)
+    assert(results.count(!_.skipped) == 5)
+    assert(CheckpointedRun.completedPartitions(root, runId).size == 8)
+
+    // resumed output equals an uninterrupted run, byte-for-byte
+    val rootB = tmpDir("resumeB")
+    CheckpointedRun.run(spark, input, "url", transform, rootB, "r2",
+      numPartitions = 8)
+    val a = CheckpointedRun.output(spark, root, runId)
+      .select("url", "scrubbed_text", "keep", "perplexity")
+    val b = CheckpointedRun.output(spark, rootB, "r2")
+      .select("url", "scrubbed_text", "keep", "perplexity")
+    assert(a.count() == 400)
+    assert(a.exceptAll(b).count() == 0L)
+    assert(b.exceptAll(a).count() == 0L)
+
+    // metrics table: one manifest row per partition with stage counters
+    val metrics = CheckpointedRun.metricsTable(spark, root, runId)
+    assert(metrics.count() == 8)
+    assert(metrics.columns.contains("stages"))
+    assert(metrics.agg(sum("rows")).head().getLong(0) == 400L)
+  }
+
+  test("salted write bounds skew: no output partition dominated by one host") {
+    val root = tmpDir("salt")
+    val df = QualityPipeline(PagesSynth.pages(spark, 2000, 8))
+    IcebergStyleTable.append(df, root, Seq("part_date"), "url",
+      saltBuckets = 16, shufflePartitions = 8)
+    // hottest Zipf host spreads across >= 2 files within its hottest date
+    val back = IcebergStyleTable.read(spark, root)
+      .withColumn("host", regexp_extract(col("url"), "^https://([^/]+)", 1))
+      .withColumn("file", input_file_name())
+    val hot = back.groupBy("host").count().orderBy(desc("count"))
+      .head().getString(0)
+    val files = back.filter(col("host") === hot)
+      .select(countDistinct("file")).head().getLong(0)
+    assert(files >= 2, s"hot host $hot landed in $files file(s)")
+  }
+}

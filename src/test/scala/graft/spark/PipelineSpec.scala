@@ -1,0 +1,109 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.PagesSynth
+import graft.pipeline.QualityPipeline
+
+/** End-to-end pipeline gates (SURVEY §5.4.5): keep/drop F1 >= 0.99 vs the
+  * planted intent labels, byte-identical scrubbed text across
+  * partitionings, html-extract branch, planted-PII accounting.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val N = 1500L
+
+  private lazy val out = QualityPipeline(PagesSynth.pages(spark, N, 8))
+    .withColumn("id", regexp_extract(col("url"), "/page/(\\d+)$", 1)
+      .cast("long"))
+    .cache()
+  private lazy val truths = PagesSynth.truths(spark, N, 8)
+
+  test("keep/drop F1 >= 0.99 vs planted labels (hard gate)") {
+    val j = out.join(truths, "id")
+    val agg = j.agg(
+      sum(when(col("keep") && col("expectedKeep"), 1L).otherwise(0L)),
+      sum(when(col("keep") && !col("expectedKeep"), 1L).otherwise(0L)),
+      sum(when(!col("keep") && col("expectedKeep"), 1L).otherwise(0L)))
+      .collect()(0)
+    val (tp, fp, fn) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    val p = tp.toDouble / (tp + fp)
+    val r = tp.toDouble / (tp + fn)
+    val f1 = 2 * p * r / (p + r)
+    assert(f1 >= 0.99, s"F1=$f1 (tp=$tp fp=$fp fn=$fn)")
+    assert(f1 == 1.0, s"expected exact 1.0 on validated labels, got $f1")
+  }
+
+  test("every planted defect class is dropped; clean docs are kept") {
+    val j = out.join(truths, "id")
+    val byDefect = j.groupBy("defect")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    byDefect.foreach { case (d, (n, kept)) =>
+      if (d == "none") assert(kept == n, s"clean docs dropped: $kept/$n")
+      else assert(kept == 0L, s"defect $d kept $kept/$n")
+    }
+  }
+
+  test("clean docs: pii match count equals planted count; scrub redacts") {
+    val j = out.join(truths, "id").filter(col("defect") === "none")
+    val bad = j.filter(size(col("pii_matches")) =!= col("nPii")).count()
+    assert(bad == 0L)
+    // every doc with planted PII has redacted tokens and a changed text
+    val withPii = j.filter(col("nPii") > 0)
+    assert(withPii.filter(col("n_redacted") === 0).count() == 0L)
+    assert(withPii.filter(!col("scrubbed_text").contains("[PII:")).count() == 0L)
+    // scrubbed text never leaks a planted SSN-shaped string
+    assert(out.filter(col("scrubbed_text").rlike("\\d{3}-\\d{2}-\\d{4}"))
+      .count() == 0L)
+  }
+
+  test("byte-identical output per url across different partitionings") {
+    val a = QualityPipeline(PagesSynth.pages(spark, 400, 2))
+      .select(col("url"), col("extracted_text"), col("scrubbed_text"),
+        col("lang_pred"), col("perplexity"), col("keep"))
+    val b = QualityPipeline(
+        PagesSynth.pages(spark, 400, 13).repartition(7, col("url")))
+      .select(col("url"), col("extracted_text"), col("scrubbed_text"),
+        col("lang_pred"), col("perplexity"), col("keep"))
+    assert(a.exceptAll(b).count() == 0L)
+    assert(b.exceptAll(a).count() == 0L)
+  }
+
+  test("html-only rows route through the extract branch (P1)") {
+    val pages = PagesSynth.pages(spark, N, 8)
+    val htmlOnly = pages.filter(col("text").isNull && col("html").isNotNull)
+    assert(htmlOnly.count() > 0, "generator should emit html-only rows")
+    val processed = out.join(
+      htmlOnly.select(regexp_extract(col("url"), "/page/(\\d+)$", 1)
+        .cast("long").as("id")), "id")
+    assert(processed.count() == htmlOnly.count())
+    // extracted text is non-empty and html tags are gone
+    assert(processed.filter(length(col("extracted_text")) < 50).count() == 0L)
+    assert(processed.filter(col("extracted_text").contains("<p>")).count() == 0L)
+    assert(processed.filter(col("extracted_text").contains("track(")).count() == 0L)
+  }
+
+  test("lineage: rule_lineage carries every rule with value + threshold") {
+    val row = out.filter(col("keep")).select(col("rule_lineage")).head()
+    val rules = row.getSeq[org.apache.spark.sql.Row](0)
+    val names = rules.map(_.getString(0))
+    assert(names.contains("word_count_min") && names.contains("lorem_ipsum") &&
+      names.contains("dup_10gram_char_fraction") &&
+      names.contains("perplexity_max") && names.contains("lang_conf_min"))
+    assert(names.distinct.length == names.length)
+    // kept doc: nothing fired
+    assert(rules.forall(r => !r.getBoolean(1)))
+  }
+
+  test("host_bucket partition column is Zipf-bounded and stable") {
+    val hb = out.groupBy("host_bucket").count()
+    assert(hb.count() <= 64)
+    assert(out.filter(col("host_bucket") < 0 || col("host_bucket") >= 64)
+      .count() == 0L)
+  }
+}
