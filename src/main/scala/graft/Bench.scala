@@ -87,7 +87,10 @@ object Bench {
       s.sparkContext.setLogLevel("WARN")
       runPipeline(s, pagesPath) // per-session warmup
       val st0 = stealJiffies
-      val t = math.min(runPipeline(s, pagesPath), runPipeline(s, pagesPath))
+      // best-of-N vs host noise (shared VM): 2 passes at the slow level,
+      // 3 at the fast ones
+      val passes = if (level == 4) 2 else 3
+      val t = (1 to passes).map(_ => runPipeline(s, pagesPath)).min
       steals(level) = stealJiffies - st0
       times(level) = t
       results(s"pipeline_local$level") = t

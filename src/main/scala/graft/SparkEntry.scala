@@ -360,7 +360,90 @@ object SparkEntry {
         .orderBy("o_custkey", "rn", "o_orderkey")
     }),
 
-    // ---- multimodal plumbing: opaque binary + deterministic fake decode ----
+    // ---- dedup: embedding-cosine near-dup pairs (planted, oracled) ----
+    // Planted near-copies: vec_id % 25 == 0 gets a perturbed twin at
+    // vec_id + 100000; pairwise cosine >= 0.8 recovers exactly the 20
+    // planted pairs. Brute-force pairwise here (500 rows); at scale the
+    // LSH/IVF bucketing below prunes the candidate set first.
+    "dedup_embedding_pairs" -> ((s, dir) => {
+      val emb = withFns(s).read.parquet(s"$dir/embeddings.parquet")
+      val dot = (a: Column, b: Column) => aggregate(
+        zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      val asD = transform(col("embedding"), x => x.cast("double"))
+      // DuckDB list lambdas index 1-based; mirror with (i + 1)
+      val planted = emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(asD, (x, i) =>
+            x + (((i + 1) * 37 % 11) - 5).cast("double") / 200.0).as("emb"))
+      val base = emb.select(col("vec_id"), asD.as("emb")).union(planted)
+      val cos = dot(col("a.emb"), col("b.emb")) /
+        (sqrt(dot(col("a.emb"), col("a.emb"))) *
+         sqrt(dot(col("b.emb"), col("b.emb"))))
+      base.as("a").join(broadcast(base.as("b")),
+          col("a.vec_id") < col("b.vec_id"))
+        .filter(cos >= 0.8)
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          round(cos, 4).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- similarity: IVF-bucketed ANN (coarse quantizer = first-K seed
+    //      centroids, search only the query's cell — the scale path) ----
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = withFns(s).read.parquet(s"$dir/embeddings.parquet")
+      val dot = (a: Column, b: Column) => aggregate(
+        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      // coarse centroids: the first 8 vectors (deterministic seed choice;
+      // a production build would k-means these — assignment plan is the same)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("sim", dot(col("embedding"), col("cent")))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+            .orderBy(col("sim").desc, col("cent_id"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id"))
+      val q = assigned.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"), col("cent_id").as("q_cent"))
+      assigned.filter(col("vec_id") =!= 0).join(broadcast(q),
+          col("cent_id") === col("q_cent"))
+        .select(col("vec_id"),
+          round(dot(col("embedding"), col("q_emb")) /
+            (sqrt(dot(col("embedding"), col("embedding"))) *
+             sqrt(dot(col("q_emb"), col("q_emb")))), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // ---- text analysis: composite quality score (oracled) ----
+    "quality_score" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("rs", rules(col("text"), lit("en")))
+      val wc = ruleValue(col("rs"), "word_count_min")
+      val alpha = ruleValue(col("rs"), "alpha_word_ratio")
+      val stop = ruleValue(col("rs"), "stopword_count")
+      val sent = ruleValue(col("rs"), "min_sentence_count")
+      d.select(col("doc_id"),
+        round(least(wc, lit(200.0)) / 200.0 * 0.25 + alpha * 0.25 +
+          least(stop, lit(8.0)) / 8.0 * 0.25 +
+          least(sent, lit(20.0)) / 20.0 * 0.25, 6).as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- multimodal plumbing: opaque binary + batched stub decode ----
+    "mm_decode_features" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = docs(s, dir)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
+        .as[graft.ops.MediaBlob]
+      graft.ops.Multimodal.extractFeatures(blobs)
+        .toDF()
+        .withColumn("n_frames", size(col("frame_offsets_ms")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- multimodal: column-level fake meta (pure SQL plumbing) ----
     "mm_meta_extract" -> ((s, dir) =>
       docs(s, dir)
         .withColumn("blob", encode(col("text"), "utf-8"))
@@ -374,6 +457,34 @@ object SparkEntry {
         .orderBy("doc_id")))
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_embedding_pairs" ->
+      ("WITH planted AS (SELECT vec_id + 100000 AS vec_id, " +
+        "list_transform(CAST(embedding AS DOUBLE[]), (x, i) -> " +
+        "x + ((i * 37) % 11 - 5) / 200.0) AS emb " +
+        "FROM embeddings WHERE vec_id % 25 = 0), " +
+        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb " +
+        "FROM embeddings UNION ALL SELECT vec_id, emb FROM planted) " +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine " +
+        "FROM base a JOIN base b ON a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.emb, b.emb) >= 0.8 " +
+        "ORDER BY id_a, id_b"),
+
+    "quality_score" -> {
+      val words = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
+      val wc = s"len($words)"
+      val alpha = s"len(list_filter($words, w -> regexp_matches(w, '\\p{L}')))"
+      val stop = s"len(list_filter(['the','be','to','of','and','that','have'," +
+        s"'with'], sw -> list_contains(list_transform($words, w -> lower(w)), sw)))"
+      val sent = "len(regexp_extract_all(text, '[.!?。]'))"
+      s"SELECT doc_id, round(" +
+        s"least($wc, 200.0) / 200.0 * 0.25 + " +
+        s"(CASE WHEN $wc > 0 THEN $alpha * 1.0 / $wc ELSE 0.0 END) * 0.25 + " +
+        s"least($stop, 8.0) / 8.0 * 0.25 + " +
+        s"least($sent, 20.0) / 20.0 * 0.25, 6) AS quality_score " +
+        s"FROM documents ORDER BY doc_id"
+    },
+
     "s1_scan_project" ->
       ("SELECT doc_id, source, n_chars FROM documents WHERE text IS NOT NULL " +
         "ORDER BY doc_id"),

@@ -40,14 +40,20 @@ object Heuristics {
     Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
   // C4 thresholds
   final val MinSentences = 3
+  // pipeline-level rule thresholds (perplexity + langid confidence)
+  final val PerplexityMax = 1500.0
+  final val LangConfMin = 0.2
 
   /** Rules expressible with plain string/arithmetic ops — the
     * lang-independent subset is mirrored in the DuckDB oracle SQL
     * (SURVEY §5.4.4). The stopword rule is lang-aware: the Gopher list for
     * en, vocab-head function words otherwise (English stopwords would drop
     * every non-English page). */
-  def basicRules(text: String, lang: String = "en"): Vector[RuleResult] = {
-    val ws = Tokenizer.words(text)
+  def basicRules(text: String, lang: String = "en"): Vector[RuleResult] =
+    basicRulesWith(text, Tokenizer.words(text), lang)
+
+  def basicRulesWith(text: String, ws: IndexedSeq[String],
+                     lang: String): Vector[RuleResult] = {
     val n = ws.length
     val lower = text.toLowerCase(Locale.ROOT)
 
@@ -128,7 +134,12 @@ object Heuristics {
     *   - dup_k_gram_char_fraction: sum over k-grams with count >= 2 of
     *     count x chars / chars(full_text), capped at 1.0
     */
-  def repetitionRules(text: String): Vector[RuleResult] = {
+  def repetitionRules(text: String): Vector[RuleResult] =
+    repetitionRulesWith(text,
+      Tokenizer.words(text).map(_.toLowerCase(Locale.ROOT)))
+
+  def repetitionRulesWith(text: String,
+                          wordsLower: IndexedSeq[String]): Vector[RuleResult] = {
     val out = Vector.newBuilder[RuleResult]
 
     def dupStats(units: IndexedSeq[String]): (Double, Double) = {
@@ -160,46 +171,44 @@ object Heuristics {
       dupParaCharFrac > MaxDupParaCharFraction, dupParaCharFrac,
       MaxDupParaCharFraction)
 
-    val ws = Tokenizer.words(text).map(_.toLowerCase(Locale.ROOT))
+    val ws = wordsLower
     val totalChars = math.max(1, text.length).toDouble
 
-    def ngramCounts(k: Int): mutable.HashMap[Long, (Int, Int)] = {
-      // hash -> (occurrences, charLen of the n-gram incl. k-1 separators)
-      val m = mutable.HashMap[Long, (Int, Int)]()
-      if (ws.length >= k) {
-        var i = 0
-        while (i + k <= ws.length) {
-          var h = 0x9e3779b97f4a7c15L
-          var len = k - 1
-          var j = i
-          while (j < i + k) {
-            h = NGramLM.combine(h, NGramLM.hashWord(ws(j)))
-            len += ws(j).length
-            j += 1
-          }
-          val prev = m.getOrElse(h, (0, len))
-          m.update(h, (prev._1 + 1, len))
-          i += 1
-        }
+    // hash + length of every word, computed once (hot path: 9 n-gram
+    // passes reuse these primitive arrays — no per-pass re-hashing)
+    val nW = ws.length
+    val wHash = new Array[Long](nW)
+    val wLen = new Array[Int](nW)
+    var wi = 0
+    while (wi < nW) { wHash(wi) = NGramLM.hashWord(ws(wi)); wLen(wi) = ws(wi).length; wi += 1 }
+
+    // packed open-addressed Long -> (count:44 | charLen:20) counter
+    def ngramStats(k: Int): (Long, Long, Double) = {
+      // returns (maxCount, maxCountLen, dupCharMass)
+      if (nW < k) return (0L, 0L, 0.0)
+      val m = new PackedCounter(math.max(16, nW))
+      var i = 0
+      while (i + k <= nW) {
+        var h = 0x9e3779b97f4a7c15L
+        var len = k - 1
+        var j = i
+        while (j < i + k) { h = NGramLM.combine(h, wHash(j)); len += wLen(j); j += 1 }
+        m.add(h, len)
+        i += 1
       }
-      m
+      m.stats()
     }
 
     (2 to 4).foreach { k =>
-      val m = ngramCounts(k)
-      val top = if (m.isEmpty) 0.0 else {
-        val (_, (c, len)) = m.maxBy { case (h, (c, len)) => (c, len, -h) }
-        if (c < 2) 0.0 else math.min(1.0, c.toDouble * len / totalChars)
-      }
+      val (maxC, maxLen, _) = ngramStats(k)
+      val top =
+        if (maxC < 2) 0.0
+        else math.min(1.0, maxC.toDouble * maxLen / totalChars)
       val t = MaxTopNGramCharFraction(k)
       out += RuleResult(s"top_${k}gram_char_fraction", top > t, top, t)
     }
     (5 to 10).foreach { k =>
-      val m = ngramCounts(k)
-      var dupChars = 0.0
-      m.valuesIterator.foreach { case (c, len) =>
-        if (c >= 2) dupChars += c.toDouble * len
-      }
+      val (_, _, dupChars) = ngramStats(k)
       val v = math.min(1.0, dupChars / totalChars)
       val t = MaxDupNGramCharFraction(k)
       out += RuleResult(s"dup_${k}gram_char_fraction", v > t, v, t)
@@ -207,9 +216,81 @@ object Heuristics {
     out.result()
   }
 
-  /** All heuristic rules, fixed order (stable lineage schema). */
+  /** Open-addressed Long->packed(count,len) counter for n-gram stats.
+    * Value layout: count << 20 | charLen (charLen < 2^20 by construction:
+    * <= 10 words per gram). Deterministic tie-break for the top gram:
+    * (count, len, -key) — matches the previous HashMap maxBy ordering. */
+  private final class PackedCounter(expected: Int) {
+    private var cap = Integer.highestOneBit(math.max(16, expected) * 2)
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var size = 0
+
+    def add(k: Long, len: Int): Unit = {
+      if (size * 4 >= cap * 3) grow()
+      var i = (NGramLM.combine(k, 0x27d4eb2f165667c5L) & (cap - 1)).toInt
+      while (used(i) && keys(i) != k) i = (i + 1) & (cap - 1)
+      if (!used(i)) {
+        used(i) = true; keys(i) = k; vals(i) = (1L << 20) | len.toLong
+        size += 1
+      } else vals(i) += (1L << 20)
+    }
+
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals; val ou = used; val oc = cap
+      cap <<= 1
+      keys = new Array[Long](cap); vals = new Array[Long](cap)
+      used = new Array[Boolean](cap); size = 0
+      var i = 0
+      while (i < oc) {
+        if (ou(i)) {
+          val c = (ov(i) >>> 20).toInt
+          val l = (ov(i) & 0xFFFFF).toInt
+          var j = (NGramLM.combine(ok(i), 0x27d4eb2f165667c5L) & (cap - 1)).toInt
+          while (used(j)) j = (j + 1) & (cap - 1)
+          used(j) = true; keys(j) = ok(i); vals(j) = (c.toLong << 20) | l.toLong
+          size += 1
+        }
+        i += 1
+      }
+    }
+
+    /** (maxCount, lenOfMax, dupCharMass) with deterministic max tie-break. */
+    def stats(): (Long, Long, Double) = {
+      var maxC = 0L
+      var maxLen = 0L
+      var maxKey = 0L
+      var dup = 0.0
+      var i = 0
+      while (i < cap) {
+        if (used(i)) {
+          val c = vals(i) >>> 20
+          val l = vals(i) & 0xFFFFF
+          if (c > maxC || (c == maxC && (l > maxLen ||
+              (l == maxLen && keys(i) < maxKey)))) {
+            maxC = c; maxLen = l; maxKey = keys(i)
+          }
+          if (c >= 2) dup += c.toDouble * l
+        }
+        i += 1
+      }
+      (maxC, maxLen, dup)
+    }
+  }
+
+  /** All heuristic rules, fixed order (stable lineage schema).
+    * Tokenizes once; pass precomputed words via [[evaluateWith]] to share
+    * the tokenization with other stages (fused pipeline). */
   def evaluate(text: String, lang: String = "en"): Vector[RuleResult] =
-    basicRules(text, lang) ++ lineRules(text) ++ repetitionRules(text)
+    evaluateWith(text, Tokenizer.words(text), lang)
+
+  def evaluateWith(text: String, words: IndexedSeq[String],
+                   lang: String): Vector[RuleResult] = {
+    val lower = words.map(_.toLowerCase(Locale.ROOT))
+    basicRulesWith(text, words, lang) ++ lineRules(text) ++
+      repetitionRulesWith(text, lower)
+  }
 
   def keep(rules: Seq[RuleResult]): Boolean = !rules.exists(_.fired)
 }

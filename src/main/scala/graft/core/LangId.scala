@@ -8,17 +8,20 @@ import java.util.Locale
   * Character n-grams (n = 2..4) over the lowercased text with boundary
   * padding, hashed into B buckets (FNV-1a, hashing trick), scored against
   * per-language log-probability profiles (multinomial NB — the linear
-  * classifier degenerate case of fastText with one epoch / closed form),
-  * softmax for confidence.
+  * classifier degenerate case of fastText with closed-form fit), softmax
+  * for confidence.
   *
   * The model is synthesized deterministically at object init from the
-  * embedded [[SeedCorpus]] — no external data, no RNG beyond the fixed
-  * seed, pure sequential float math (SURVEY §7.5.4: no parallel reduction,
-  * so scores are bit-identical across JVMs and parallelism levels).
+  * embedded [[SeedCorpus]] — no external data, fixed seed, pure sequential
+  * float math (SURVEY §7.5.4), so scores are bit-identical across JVMs and
+  * parallelism levels.
   *
-  * At Spark scale the profile table (5 langs x 2^15 floats ~ 640 KB) is
-  * broadcast once per executor via the lazily-initialized singleton — it
-  * never rides in task closures (SURVEY §2.8).
+  * Hot-path design for the 100 TB case: scoring reuses a thread-local
+  * scratch histogram and only walks the buckets the document actually
+  * touched (typically ~1-3k of 2^15) — zero per-row allocation of the
+  * histogram and no full-table scans. The profile table (5 langs x 2^15
+  * floats ~ 640 KB) is JVM-singleton state initialized once per executor
+  * (the broadcast pattern of SURVEY §2.8 without task-closure shipping).
   */
 object LangId {
 
@@ -45,8 +48,35 @@ object LangId {
   private def bucket(s: CharSequence, from: Int, until: Int): Int =
     fnv1a(s, from, until) & BucketMask
 
-  /** Accumulate hashed n-gram counts of `text` into `acc`; returns total n-grams. */
-  private def countNGrams(text: String, acc: Array[Int]): Long = {
+  /** Reusable per-thread histogram: counts + insertion-ordered touched
+    * list, reset by touched indices (never a full 128 KB clear). */
+  private final class Scratch {
+    val counts = new Array[Int](Buckets)
+    var touched = new Array[Int](4096)
+    var nTouched = 0
+    def add(b: Int): Unit = {
+      if (counts(b) == 0) {
+        if (nTouched == touched.length)
+          touched = java.util.Arrays.copyOf(touched, touched.length * 2)
+        touched(nTouched) = b
+        nTouched += 1
+      }
+      counts(b) += 1
+    }
+    def reset(): Unit = {
+      var i = 0
+      while (i < nTouched) { counts(touched(i)) = 0; i += 1 }
+      nTouched = 0
+    }
+  }
+
+  private val scratchTL = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
+
+  /** Accumulate hashed n-gram counts of padded lowercase `text`; returns
+    * total n-grams. */
+  private def countNGrams(text: String, acc: Scratch): Long = {
     val padded = new java.lang.StringBuilder(text.length + 2)
       .append('<').append(text.toLowerCase(Locale.ROOT)).append('>')
     var total = 0L
@@ -55,7 +85,7 @@ object LangId {
       var i = 0
       val last = padded.length - n
       while (i <= last) {
-        acc(bucket(padded, i, i + n)) += 1
+        acc.add(bucket(padded, i, i + n))
         total += 1
         i += 1
       }
@@ -67,15 +97,15 @@ object LangId {
   /** Per-language log-prob profiles, built once per JVM. */
   lazy val profiles: Array[Array[Float]] = {
     languages.zipWithIndex.map { case (lang, li) =>
-      val counts = new Array[Int](Buckets)
+      val scratch = new Scratch
       // 40k words of deterministic pseudo-corpus per language.
       val text = SeedCorpus.corpus(lang, 40000, seed = 42L + li).mkString(" ")
-      val total = countNGrams(text, counts)
+      val total = countNGrams(text, scratch)
       val w = new Array[Float](Buckets)
       val denom = math.log(total.toDouble + 0.5 * Buckets)
       var b = 0
       while (b < Buckets) {
-        w(b) = (math.log(counts(b) + 0.5) - denom).toFloat
+        w(b) = (math.log(scratch.counts(b) + 0.5) - denom).toFloat
         b += 1
       }
       w
@@ -85,39 +115,43 @@ object LangId {
   /** Predict (language, confidence) for a text. Empty/blank → ("und", 0.0). */
   def predict(text: String): (String, Double) = {
     if (text == null || text.isEmpty) return ("und", 0.0)
-    val counts = new Array[Int](Buckets)
-    val total = countNGrams(text, counts)
-    if (total == 0) return ("und", 0.0)
-    val scores = new Array[Double](languages.length)
-    var li = 0
-    while (li < languages.length) {
-      val w = profiles(li)
-      var s = 0.0
-      var b = 0
-      while (b < Buckets) {
-        val c = counts(b)
-        if (c != 0) s += c * w(b)
-        b += 1
+    val profs = profiles
+    val scratch = scratchTL.get()
+    try {
+      val total = countNGrams(text, scratch)
+      if (total == 0) return ("und", 0.0)
+      val nLangs = languages.length
+      val scores = new Array[Double](nLangs)
+      var ti = 0
+      while (ti < scratch.nTouched) {
+        val b = scratch.touched(ti)
+        val c = scratch.counts(b)
+        var li = 0
+        while (li < nLangs) {
+          scores(li) += c * profs(li)(b)
+          li += 1
+        }
+        ti += 1
       }
-      scores(li) = s / total // mean log-prob, length-normalized
-      li += 1
-    }
-    // softmax over mean log-probs, temperature tuned for spread
-    var maxS = scores(0)
-    li = 1
-    while (li < scores.length) { if (scores(li) > maxS) maxS = scores(li); li += 1 }
-    var z = 0.0
-    val temp = 8.0
-    val ex = new Array[Double](scores.length)
-    li = 0
-    while (li < scores.length) {
-      ex(li) = math.exp((scores(li) - maxS) * temp)
-      z += ex(li)
-      li += 1
-    }
-    var best = 0
-    li = 1
-    while (li < scores.length) { if (scores(li) > scores(best)) best = li; li += 1 }
-    (languages(best), ex(best) / z)
+      var li = 0
+      while (li < nLangs) { scores(li) /= total; li += 1 }
+      // softmax over mean log-probs, temperature tuned for spread
+      var maxS = scores(0)
+      li = 1
+      while (li < nLangs) { if (scores(li) > maxS) maxS = scores(li); li += 1 }
+      var z = 0.0
+      val temp = 8.0
+      val ex = new Array[Double](nLangs)
+      li = 0
+      while (li < nLangs) {
+        ex(li) = math.exp((scores(li) - maxS) * temp)
+        z += ex(li)
+        li += 1
+      }
+      var best = 0
+      li = 1
+      while (li < nLangs) { if (scores(li) > scores(best)) best = li; li += 1 }
+      (languages(best), ex(best) / z)
+    } finally scratch.reset()
   }
 }

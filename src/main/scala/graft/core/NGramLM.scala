@@ -64,8 +64,11 @@ final class NGramLM private (
   /** Tokens are letter-normalized (punctuation stripped, lowercased by the
     * scorer) so sentence punctuation doesn't register as OOV. */
   def perplexityOfText(text: String): Double =
-    perplexity(Tokenizer.words(text)
-      .map(w => w.filter(Character.isLetter)).filter(_.nonEmpty))
+    perplexityOfWords(Tokenizer.words(text))
+
+  /** Same scoring over pre-tokenized words (fused pipeline path). */
+  def perplexityOfWords(words: IndexedSeq[String]): Double =
+    perplexity(words.map(w => w.filter(Character.isLetter)).filter(_.nonEmpty))
 }
 
 object NGramLM {
@@ -167,4 +170,8 @@ object NGramLM {
   /** Perplexity under the model of `lang` (unknown lang → en model). */
   def perplexity(text: String, lang: String): Double =
     models.getOrElse(lang, models("en")).perplexityOfText(text)
+
+  /** Fused-path variant over pre-tokenized words. */
+  def perplexityWords(words: IndexedSeq[String], lang: String): Double =
+    models.getOrElse(lang, models("en")).perplexityOfWords(words)
 }

@@ -34,7 +34,13 @@ object PiiDetector {
     PiiType.CreditScoreRating -> """credit report:\s*(very good|good|excellent|fair|poor|bad)""",
     PiiType.CreditCardNumber  -> """\b(?:\d{4}[ -]?){3}\d{4}\b""",
     PiiType.PhoneNumber       -> """\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}""",
-    PiiType.Email             -> """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}""",
+    // The reference/spec email pattern plus a negative lookbehind on the
+    // local-part class. Semantics-preserving for finditer (any mid-run
+    // start that could match is subsumed by the leftmost run-start match,
+    // since the class excludes '@'), but it makes scanning linear: without
+    // it, a long alphabetic run costs O(n^2) — each scan position re-walks
+    // the run (measured: a 1 MB single-token doc effectively hangs).
+    PiiType.Email             -> """(?<![a-zA-Z0-9._%+-])[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}""",
     PiiType.Ipv4              -> """\b(?:\d{1,3}\.){3}\d{1,3}\b""")
 
   private val flags =

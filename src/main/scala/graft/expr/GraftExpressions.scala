@@ -52,6 +52,21 @@ object GraftSchemas {
     StructField("lang", StringType, nullable = false),
     StructField("conf", DoubleType, nullable = false)))
 
+  /** Output of the fused per-document pass. */
+  val pageProcessStruct: StructType = StructType(Seq(
+    StructField("full_text", StringType, nullable = false),
+    StructField("scrubbed_text", StringType, nullable = false),
+    StructField("pii_matches", ArrayType(matchStruct, containsNull = false),
+      nullable = false),
+    StructField("n_redacted", IntegerType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("conf", DoubleType, nullable = false),
+    StructField("perplexity", DoubleType, nullable = false),
+    StructField("rule_lineage", ArrayType(ruleStruct, containsNull = false),
+      nullable = false),
+    StructField("keep", BooleanType, nullable = false),
+    StructField("error", StringType, nullable = true)))
+
   def matchesToCatalyst(ms: Seq[PiiMatch]): ArrayData =
     new GenericArrayData(ms.map { m =>
       InternalRow(UTF8String.fromString(m.piiType.value), m.start, m.end,
@@ -109,6 +124,32 @@ case class PiiProcess(child: Expression) extends StringKernelExpression {
   }
   override protected def withNewChildInternal(c: Expression): PiiProcess = copy(c)
   override def prettyName: String = "graft_pii_process"
+}
+
+/** `graft_page_process(text, lang)` — the fused whole-pipeline pass:
+  * tokenize once → PII scan/refine/join/scrub + langid + perplexity +
+  * lang-aware heuristics + keep/drop + full rule lineage, with per-row
+  * fault isolation (error column instead of stage failure, O1). The lang
+  * argument is the *claimed* language — used only as a fallback hint; the
+  * rules run on the predicted language. */
+case class PageProcess(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = GraftSchemas.pageProcessStruct
+  override def nullSafeEval(v: Any): Any = {
+    val r = DocProcessor.process(v.asInstanceOf[UTF8String].toString)
+    InternalRow(
+      UTF8String.fromString(r.fullText),
+      UTF8String.fromString(r.scrubbedText),
+      GraftSchemas.matchesToCatalyst(r.matches),
+      r.nRedacted,
+      UTF8String.fromString(r.lang),
+      r.langConf,
+      r.perplexity,
+      GraftSchemas.rulesToCatalyst(r.rules),
+      r.keep,
+      r.error.map(UTF8String.fromString).orNull)
+  }
+  override protected def withNewChildInternal(c: Expression): PageProcess = copy(c)
+  override def prettyName: String = "graft_page_process"
 }
 
 /** `graft_pii_tokens(text)` — labeled token lineage:

@@ -15,6 +15,7 @@ object GraftFunctions {
     "graft_extract_text" -> { es => ExtractText(es.head) },
     "graft_pii_extract" -> { es => PiiExtractAll(es.head) },
     "graft_pii_process" -> { es => PiiProcess(es.head) },
+    "graft_page_process" -> { es => PageProcess(es.head) },
     "graft_pii_tokens" -> { es => PiiTokens(es.head) },
     "graft_langid" -> { es => LangIdExpr(es.head) },
     "graft_perplexity" -> { es => PerplexityExpr(es(0), es(1)) },
@@ -37,6 +38,7 @@ object GraftFunctions {
   def extract_text(c: Column): Column = Shim.column(ExtractText(Shim.expression(c)))
   def pii_extract(c: Column): Column = Shim.column(PiiExtractAll(Shim.expression(c)))
   def pii_process(c: Column): Column = Shim.column(PiiProcess(Shim.expression(c)))
+  def page_process(c: Column): Column = Shim.column(PageProcess(Shim.expression(c)))
   def pii_tokens(c: Column): Column = Shim.column(PiiTokens(Shim.expression(c)))
   def langid(c: Column): Column = Shim.column(LangIdExpr(Shim.expression(c)))
   def perplexity(t: Column, l: Column): Column =

@@ -40,8 +40,8 @@ final case class PageTruth(id: Long, lang: String, defect: String,
 object PagesSynth {
 
   final val Seed = 42L
-  final val PerplexityMax = 1500.0
-  final val LangConfMin = 0.2
+  final val PerplexityMax: Double = Heuristics.PerplexityMax
+  final val LangConfMin: Double = Heuristics.LangConfMin
   final val NumHosts = 500
 
   private val tlds = IndexedSeq("com", "org", "net", "de", "fr", "es", "cn", "io")

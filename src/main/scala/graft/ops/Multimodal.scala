@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in partition-local batches.
+  *
+  * The decode step is STUBBED — this container ships no image/audio
+  * codecs — behind [[MediaDecoder]]: [[StubDecoder]] produces
+  * deterministic fake metadata from the content bytes so the Spark-side
+  * plumbing (schema, batching, partitioning, feature shape) is real and
+  * testable; a production deployment swaps in a codec-backed decoder with
+  * the same signature (per-partition init, batch-shaped calls — the same
+  * pattern `mapInPandas` gives PySpark).
+  */
+final case class MediaBlob(doc_id: Long, blob: Array[Byte])
+
+final case class MediaFeatures(
+    doc_id: Long,
+    n_bytes: Long,
+    width: Int,
+    height: Int,
+    channels: Int,
+    duration_ms: Int,
+    frame_offsets_ms: Seq[Int],
+    content_hash: Long)
+
+/** Batch decoder contract: called once per batch (not per row) so a real
+  * implementation can amortize codec/context setup, exactly like a
+  * vectorized UDF. Implementations must be deterministic per blob. */
+trait MediaDecoder extends Serializable {
+  /** (width, height, channels, duration_ms) per blob, batch at a time. */
+  def decodeBatch(blobs: Seq[Array[Byte]]): Seq[(Int, Int, Int, Int)]
+}
+
+/** Deterministic stand-in decoder (STUB — see class docs; a real decoder
+  * would parse the container/codec here). Metadata is a pure function of
+  * the bytes, so tests and byte-identical-output checks hold. */
+object StubDecoder extends MediaDecoder {
+  private def mix(x: Long): Long = {
+    var z = x ^ 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def contentHash(blob: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < blob.length) {
+      h = (h ^ (blob(i) & 0xff)) * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  override def decodeBatch(blobs: Seq[Array[Byte]]): Seq[(Int, Int, Int, Int)] =
+    blobs.map { b =>
+      val h = mix(contentHash(b))
+      // fake-but-plausible media dims; a real decoder replaces this body
+      val width = 160 + ((h & 0x7fffffffL) % 1760).toInt
+      val height = 90 + (((h >>> 16) & 0x7fffffffL) % 990).toInt
+      val channels = 1 + ((h >>> 32) % 3).toInt.abs
+      val durationMs = 1000 + (((h >>> 40) & 0x7fffffffL) % 59000).toInt
+      (width, height, channels, durationMs)
+    }
+}
+
+object Multimodal {
+
+  implicit val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+
+  /** Uniform frame sampling: offsets (ms) of up to `maxFrames` frames,
+    * every `everyMs`, within [0, durationMs). */
+  def frameSample(durationMs: Int, everyMs: Int, maxFrames: Int = 16): Seq[Int] = {
+    if (durationMs <= 0 || everyMs <= 0) return Seq.empty
+    (0 until durationMs by everyMs).take(maxFrames)
+  }
+
+  /** Partition-local batched feature extraction — the Scala analog of
+    * `mapInPandas`: rows stream through in `batchSize` groups, the decoder
+    * sees whole batches, output is a typed Dataset with a columnar-friendly
+    * schema. No shuffle; partitioning is inherited from the input. */
+  def extractFeatures(blobs: Dataset[MediaBlob],
+                      decoder: MediaDecoder = StubDecoder,
+                      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    blobs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val metas = decoder.decodeBatch(batch.map(_.blob))
+        batch.lazyZip(metas).map { case (b, (w, h, c, d)) =>
+          MediaFeatures(b.doc_id, b.blob.length.toLong, w, h, c, d,
+            frameSample(d, everyMs = 5000), StubDecoder.contentHash(b.blob))
+        }
+      }
+    }
+  }
+}

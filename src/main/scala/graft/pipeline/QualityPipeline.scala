@@ -1,50 +1,35 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.expr.GraftFunctions._
-import graft.model.PagesSynth
 
 /** The composed webtext quality-filter pipeline (SURVEY §3.5):
   *
   * {{{
   * pages(url, warc_ts, html, text, lang)
   *   → extract   (html-only rows through graft_html_text; P1 branch)
-  *   → pii       (tokenize → fused scan → refine → span join → scrub; one pass)
-  *   → langid    (char-n-gram profiles, JVM-singleton state)
-  *   → perplexity(per-lang trigram LM)
-  *   → heuristics(Gopher/C4 rules, lang-aware stopwords)
-  *   → keep/drop + full rule lineage
+  *   → graft_page_process: ONE fused per-document pass —
+  *       tokenize → fused PII scan → refine → span join → scrub
+  *       → langid → perplexity → lang-aware Gopher/C4 heuristics
+  *       → keep/drop + full rule lineage + per-row fault isolation (O1)
   * }}}
   *
   * Everything is per-row column expressions — zero shuffles, zero custom
-  * optimizer rules (SURVEY §4.2): the plan is a single WholeStageCodegen
-  * project over the scan, and scaling is bounded only by input split
-  * parallelism. The only exchange a full job performs is the salted
-  * repartition before the partitioned write (graft.io).
+  * optimizer rules (SURVEY §4.2): the plan is a project over the scan, and
+  * scaling is bounded only by input split parallelism. The only exchange
+  * a full job performs is the salted repartition before the partitioned
+  * write (graft.io.IcebergStyleTable).
   *
-  * Stage ordering is the reference's cheap-predicate-first idea
-  * (backend/pdf/PDFRedactor.py:73-81) applied to columns: the extract
-  * branch runs only for rows with no `text`.
+  * The fused pass tokenizes each document exactly once (vs ~4x for the
+  * à-la-carte stage expressions, which remain available for per-stage
+  * queries) — the dominant cost at 100 TB is this per-row CPU.
   */
 object QualityPipeline {
 
-  final val PerplexityMax: Double = PagesSynth.PerplexityMax
-  final val LangConfMin: Double = PagesSynth.LangConfMin
-
-  /** Pipeline-level rules appended to the heuristic lineage. */
-  private def pipelineRules(ppl: Column, conf: Column): Column = array(
-    struct(
-      lit("perplexity_max").as("rule"),
-      (ppl > PerplexityMax).as("fired"),
-      ppl.as("value"),
-      lit(PerplexityMax).as("threshold")),
-    struct(
-      lit("lang_conf_min").as("rule"),
-      (conf < LangConfMin).as("fired"),
-      conf.as("value"),
-      lit(LangConfMin).as("threshold")))
+  final val PerplexityMax: Double = graft.core.Heuristics.PerplexityMax
+  final val LangConfMin: Double = graft.core.Heuristics.LangConfMin
 
   /** pages(url, warc_ts, html, text, lang) → output rows (SURVEY §1.4). */
   def apply(pages: DataFrame): DataFrame = {
@@ -54,27 +39,21 @@ object QualityPipeline {
       .withColumn("raw_text",
         coalesce(col("text"), html_text(col("html"))))
       .filter(col("raw_text").isNotNull)
-      .withColumn("pii", pii_process(col("raw_text")))
-      .withColumn("lid", langid(col("pii.full_text")))
-      .withColumn("perplexity", perplexity(col("pii.full_text"), col("lid.lang")))
-      .withColumn("rule_lineage",
-        concat(
-          quality_rules(col("raw_text"), col("lid.lang")),
-          pipelineRules(col("perplexity"), col("lid.conf"))))
-      .withColumn("keep", !exists(col("rule_lineage"), r => r("fired")))
+      .withColumn("p", page_process(col("raw_text")))
       .select(
         col("url"),
         col("warc_ts"),
         col("lang").as("lang_claimed"),
-        col("lid.lang").as("lang_pred"),
-        col("lid.conf").as("lang_conf"),
-        col("perplexity"),
-        col("keep"),
-        col("pii.full_text").as("extracted_text"),
-        col("pii.scrubbed_text").as("scrubbed_text"),
-        col("pii.pii_matches").as("pii_matches"),
-        col("pii.n_redacted").as("n_redacted"),
-        col("rule_lineage"),
+        col("p.lang").as("lang_pred"),
+        col("p.conf").as("lang_conf"),
+        col("p.perplexity").as("perplexity"),
+        col("p.keep").as("keep"),
+        col("p.full_text").as("extracted_text"),
+        col("p.scrubbed_text").as("scrubbed_text"),
+        col("p.pii_matches").as("pii_matches"),
+        col("p.n_redacted").as("n_redacted"),
+        col("p.rule_lineage").as("rule_lineage"),
+        col("p.error").as("error"),
         to_date(col("warc_ts")).as("part_date"),
         pmod(xxhash64(regexp_extract(col("url"), "^https?://([^/]+)", 1)),
           lit(64)).cast("int").as("host_bucket"))

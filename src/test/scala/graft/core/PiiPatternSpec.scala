@@ -158,6 +158,23 @@ class PiiPatternSpec extends AnyFunSuite {
       PiiType.CreditCardNumber)
   }
 
+  test("linear scan on pathological runs (1 MB single token)") {
+    // regression: the bare email pattern made this O(n^2) — each scan
+    // position re-walked the alphabetic run (a 1 MB doc effectively hung)
+    val doc = ("x" * 1000000) + " reach me at a@b.com ok"
+    val t0 = System.nanoTime()
+    val ms = PiiDetector.extract(doc)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(ms.map(_.text) == Vector("a@b.com"))
+    assert(sec < 5.0, f"scan took $sec%.1f s — super-linear blowup")
+    // digit-run flood stays linear too (phone matches tile the run)
+    val digits = "9" * 1000000
+    val t1 = System.nanoTime()
+    val ms2 = PiiDetector.extract(digits)
+    val sec2 = (System.nanoTime() - t1) / 1e9
+    assert(ms2.nonEmpty && sec2 < 5.0, f"digit scan $sec2%.1f s")
+  }
+
   test("unicode parity traps: arabic-indic digits, NBSP") {
     // Python \d matches U+0660..9; Java needs UNICODE_CHARACTER_CLASS
     val arabicSsn = "١٢٣-٤٥-٦٧٨٩"

@@ -62,7 +62,7 @@ class ExprSpec extends AnyFunSuite {
     // WSCG spans render as "*(n)" in executedPlan.toString; the projects
     // holding CodegenFallback expressions sit outside them by design
     assert(plan.contains("*("), plan.take(1500))
-    assert(plan.contains("graft_pii_process") || plan.contains("piiprocess"),
+    assert(plan.contains("graft_page_process") || plan.contains("pageprocess"),
       plan.take(1500))
   }
 

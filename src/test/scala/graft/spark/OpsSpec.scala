@@ -1,0 +1,97 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Training-data ops gates: dedup recovers exactly the planted clusters,
+  * ANN variants agree with brute force on their candidate cells,
+  * multimodal batched decode is deterministic with real batch shape.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedup_exact recovers exactly the planted duplicate clusters") {
+    val rows = SparkEntry.queries("dedup_exact")(spark, dir).collect()
+    // doc_id % 11 < 2 over 500 docs, 3 dup keys (doc_id % 3)
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("n_dups")).sum > 80)
+  }
+
+  test("dedup_minhash_pairs: planted near-dup clusters fully recovered") {
+    val pairs = SparkEntry.queries("dedup_minhash_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 20 planted docs (doc_id % 25 == 0) in 4 tail-variant clusters of 5:
+    // all within-cluster pairs (5 choose 2) * 4 = 40 must be candidates
+    val clusters = (0L until 500L by 25).groupBy(_ % 4 % 4).map(_._2)
+    val expected = for {
+      c <- (0 to 3).map(v => (0L until 500L by 25).filter(_ % 4 == v))
+      a <- c; b <- c if a < b
+    } yield (a, b)
+    expected.foreach { p => assert(pairs.contains(p), s"missing pair $p") }
+  }
+
+  test("dedup_embedding_pairs finds exactly the 20 planted twins") {
+    val rows = SparkEntry.queries("dedup_embedding_pairs")(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 100000L)
+      assert(r.getDouble(2) > 0.98)
+    }
+  }
+
+  test("ann variants: results are a correct subset of brute-force ranking") {
+    val brute = SparkEntry.queries("knn_bruteforce")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Seq("ann_lsh_topk", "ann_ivf_topk").foreach { q =>
+      val approx = SparkEntry.queries(q)(spark, dir).collect()
+      assert(approx.length == 10, q)
+      // every approx hit that also appears in the brute top-10 must carry
+      // the identical cosine (same math, same rounding)
+      approx.foreach { r =>
+        brute.get(r.getLong(0)).foreach { c =>
+          assert(c == r.getDouble(1), s"$q cosine mismatch for ${r.getLong(0)}")
+        }
+      }
+      // sanity recall: bucketed search keeps some of the true top-10
+      val recall = approx.map(_.getLong(0)).count(brute.contains)
+      assert(recall >= 1, s"$q recall=$recall")
+    }
+  }
+
+  test("multimodal batched decode: deterministic, batch-shaped, framed") {
+    val a = SparkEntry.queries("mm_decode_features")(spark, dir).collect()
+    val b = SparkEntry.queries("mm_decode_features")(spark, dir).collect()
+    assert(a.length == 500)
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq) // determinism
+    a.take(50).foreach { r =>
+      assert(r.getAs[Long]("n_bytes") > 0)
+      val d = r.getAs[Int]("duration_ms")
+      val frames = r.getSeq[Int](r.fieldIndex("frame_offsets_ms")).toList
+      assert(frames.nonEmpty && frames.forall(_ < d))
+      assert(frames == graft.ops.Multimodal.frameSample(d, 5000).toList)
+    }
+    // batch decoder really sees batches (not single rows); counter lives
+    // in a JVM-singleton because the closure-serialized decoder is a copy
+    BatchProbe.seen.set(0)
+    import spark.implicits._
+    val blobs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
+      .as[graft.ops.MediaBlob]
+    graft.ops.Multimodal.extractFeatures(blobs, BatchProbe, batchSize = 64)
+      .count()
+    assert(BatchProbe.seen.get() > 0, "decoder never saw a multi-row batch")
+  }
+}
+
+/** JVM-singleton probe decoder: counts multi-row batches it receives. */
+object BatchProbe extends graft.ops.MediaDecoder {
+  val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+  override def decodeBatch(blobs: Seq[Array[Byte]]): Seq[(Int, Int, Int, Int)] = {
+    if (blobs.length > 1) seen.incrementAndGet()
+    graft.ops.StubDecoder.decodeBatch(blobs)
+  }
+}
