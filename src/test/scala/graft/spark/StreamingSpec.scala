@@ -37,6 +37,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0L)
   }
 
+  test("stateful cross-batch dedup: re-crawled identical pages dropped") {
+    val dir = Files.createTempDirectory("stream_dedup").toString
+    val pages = PagesSynth.pages(spark, 50, 2)
+    // batch 1: originals; batch 2: exact re-crawls of 0..24 + 25 new docs
+    pages.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(pages.schema).parquet(s"$dir/in")
+    def runOnce(): Unit = {
+      val q = graft.streaming.StreamingQuality.dedupFirstSeen(stream)
+        .toDF("url", "text")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    assert(spark.read.parquet(s"$dir/out").count() == 50)
+
+    // second micro-batch: 25 identical re-crawls + 25 genuinely new pages
+    PagesSynth.pages(spark, 25, 2)
+      .union(PagesSynth.pages(spark, 75, 2)
+        .filter(col("url").rlike("/page/(5[0-9]|6[0-9]|7[0-4])$")))
+      .write.mode("append").parquet(s"$dir/in")
+    runOnce()
+    // only the 25 new urls pass; the 25 re-crawls are stateful-deduped
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 75)
+    assert(out.select("url").distinct().count() == 75)
+  }
+
   test("watermarked tumbling-window aggregation over events") {
     val dir = Files.createTempDirectory("stream_events").toString
     // driver parquet carries TIMESTAMP_NTZ; watermarks need TIMESTAMP (LTZ)
