@@ -86,6 +86,7 @@ object Bench {
       val s = session(level)
       s.sparkContext.setLogLevel("WARN")
       runPipeline(s, pagesPath) // per-session warmup
+      val stage0 = graft.core.StageTimers.snapshot()
       val st0 = stealJiffies
       // best-of-N vs host noise (shared VM): 2 passes at the slow level,
       // 3 at the fast ones
@@ -94,6 +95,16 @@ object Bench {
       steals(level) = stealJiffies - st0
       times(level) = t
       results(s"pipeline_local$level") = t
+      if (level == 32) {
+        // per-stage CPU profile across the timed passes (BASELINE.json:
+        // per-stage metrics) — core-seconds per stage and us/doc
+        val (stageNanos, nDocs) = graft.core.StageTimers.delta(stage0,
+          graft.core.StageTimers.snapshot())
+        graft.core.StageTimers.stages.foreach { st =>
+          results(s"stage_${st}_us_per_doc") =
+            if (nDocs == 0) 0.0 else stageNanos(st) / 1e3 / nDocs
+        }
+      }
       s.stop()
     }
 

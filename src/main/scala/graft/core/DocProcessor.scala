@@ -36,15 +36,27 @@ object DocProcessor {
 
   def process(text: String): DocResult =
     try {
+      val t0 = System.nanoTime()
       val (full, tokens) = Tokenizer.tokenize(text)
+      val t1 = System.nanoTime()
       val matches = PiiDetector.extract(full)
       val labeled = PiiDetector.spanJoin(tokens, matches)
       val scrubbed = PiiDetector.scrub(full, labeled)
+      val t2 = System.nanoTime()
       val (lang, conf) = LangId.predict(full)
+      val t3 = System.nanoTime()
       val words = tokens.map(_.text)
       val ppl = NGramLM.perplexityWords(words, lang)
+      val t4 = System.nanoTime()
       val rules = Heuristics.evaluateWith(text, words, lang) ++
         pipelineRules(ppl, conf)
+      val t5 = System.nanoTime()
+      StageTimers.add("tokenize", t1 - t0)
+      StageTimers.add("pii_scrub", t2 - t1)
+      StageTimers.add("langid", t3 - t2)
+      StageTimers.add("perplexity", t4 - t3)
+      StageTimers.add("heuristics", t5 - t4)
+      StageTimers.addDoc()
       DocResult(full, scrubbed, matches,
         labeled.count(_.detectedAs.isDefined), lang, conf, ppl, rules,
         keep = !rules.exists(_.fired), error = None)

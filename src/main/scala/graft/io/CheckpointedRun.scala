@@ -62,6 +62,7 @@ object CheckpointedRun {
         if (fresh >= failAfter)
           throw new RuntimeException(s"injected failure before partition $k")
         fresh += 1
+        val st0 = graft.core.StageTimers.snapshot()
         val t0 = System.nanoTime()
         val part = input.filter(
           pmod(xxhash64(col(keyCol)), lit(numPartitions)) === k)
@@ -84,14 +85,21 @@ object CheckpointedRun {
             .as("heuristics_n_fired")).collect()(0)
         val rows = m.getLong(0)
         val wall = (System.nanoTime() - t0) / 1e9
+        val (stageNanos, _) =
+          graft.core.StageTimers.delta(st0, graft.core.StageTimers.snapshot())
+        def sn(st: String): Double = stageNanos.getOrElse(st, 0L) / 1e9
 
         val manifest =
           s"""{"run_id":"$runId","partition":$k,"rows":$rows,
              |"n_keep":${m.getLong(1)},
-             |"stages":{"scrub":{"n_redacted":${m.getLong(2)}},
-             |"langid":{"n_low_conf":${m.getLong(3)}},
-             |"perplexity":{"n_high":${m.getLong(4)}},
-             |"heuristics":{"n_fired":${m.getLong(5)}}},
+             |"stages":{"scrub":{"n_redacted":${m.getLong(2)},
+             |"cpu_sec":${sn("pii_scrub")}},
+             |"langid":{"n_low_conf":${m.getLong(3)},"cpu_sec":${sn("langid")}},
+             |"perplexity":{"n_high":${m.getLong(4)},
+             |"cpu_sec":${sn("perplexity")}},
+             |"heuristics":{"n_fired":${m.getLong(5)},
+             |"cpu_sec":${sn("heuristics")}},
+             |"tokenize":{"cpu_sec":${sn("tokenize")}}},
              |"wall_sec":$wall}""".stripMargin.replace("\n", "")
         // write-then-rename: manifest appears only after data committed
         val tmp = progressDir(root, runId).resolve(s"partition=$k.tmp")

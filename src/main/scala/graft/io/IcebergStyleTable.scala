@@ -115,6 +115,67 @@ object IcebergStyleTable {
     spark.read.option("basePath", dataDir(root).toString)
       .parquet(dataDir(root).toString)
 
+  /** Rewrite the table's data files into at most `filesPerPartitionDir`
+    * per partition directory and commit the result as a new snapshot —
+    * the Iceberg `rewrite_data_files` analog. At fine partition
+    * granularity (date x host_bucket) small scales produce tiny files;
+    * compaction runs out-of-band and readers flip atomically via the
+    * version hint (old files are left for time-travel; a GC pass would
+    * remove files not referenced by retained snapshots).
+    */
+  def compact(spark: SparkSession, root: String, partitionCols: Seq[String],
+              filesPerPartitionDir: Int = 1): Snapshot = {
+    val current = read(spark, root)
+    val tmp = Paths.get(root, "data_compact_tmp").toString
+    current
+      .repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions(partitionCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 0)
+      .partitionBy(partitionCols: _*)
+      .parquet(tmp)
+
+    // swap: move compacted files into data/ as a new snapshot generation
+    val dataPath = dataDir(root)
+    val old = listDataFiles(root)
+    val tmpFiles = Files.walk(Paths.get(tmp)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .toSeq
+    tmpFiles.foreach { p =>
+      val rel = Paths.get(tmp).relativize(p)
+      val dest = dataPath.resolve(rel.toString)
+      Files.createDirectories(dest.getParent)
+      Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
+    }
+    // retire the pre-compaction files (single-snapshot retention here)
+    old.foreach(f => Files.deleteIfExists(dataPath.resolve(f)))
+    deleteRecursively(Paths.get(tmp))
+
+    val added = (listDataFiles(root) -- Set.empty).toSeq.sorted
+    val rowCount = read(spark, root).count()
+    val version = currentVersion(root) + 1
+    val snapJson =
+      s"""{"version":$version,"compaction":true,
+         |"added_files":[${added.map(q).mkString(",")}],
+         |"added_rows":$rowCount,
+         |"partition_spec":[${partitionCols.map(q).mkString(",")}]}"""
+        .stripMargin.replace("\n", "")
+    Files.write(metaDir(root).resolve(s"snap-$version.json"),
+      snapJson.getBytes(StandardCharsets.UTF_8))
+    val tmpHint = metaDir(root).resolve("version-hint.tmp")
+    Files.write(tmpHint, version.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmpHint, metaDir(root).resolve("version-hint.text"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    Snapshot(version, added, rowCount)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
+
   def snapshots(root: String): Seq[Int] = {
     val m = metaDir(root)
     if (!Files.exists(m)) Seq.empty

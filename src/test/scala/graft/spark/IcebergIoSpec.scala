@@ -105,6 +105,21 @@ class IcebergIoSpec extends AnyFunSuite {
     assert(metrics.agg(sum("rows")).head().getLong(0) == 400L)
   }
 
+  test("compaction: fewer files, same rows, atomic snapshot flip") {
+    val root = tmpDir("compact")
+    val df = QualityPipeline(PagesSynth.pages(spark, 400, 4))
+    val snap1 = IcebergStyleTable.append(df, root, Seq("part_date"), "url", 8, 4)
+    val before = snap1.files.size
+    val snap2 = IcebergStyleTable.compact(spark, root, Seq("part_date"))
+    assert(snap2.version == snap1.version + 1)
+    assert(snap2.rowCount == 400)
+    assert(snap2.files.size < before,
+      s"compaction ${before} -> ${snap2.files.size}")
+    val back = IcebergStyleTable.read(spark, root)
+    assert(back.count() == 400)
+    assert(back.select(countDistinct("url")).head().getLong(0) == 400)
+  }
+
   test("salted write bounds skew: no output partition dominated by one host") {
     val root = tmpDir("salt")
     val df = QualityPipeline(PagesSynth.pages(spark, 2000, 8))
