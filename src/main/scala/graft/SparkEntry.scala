@@ -360,6 +360,26 @@ object SparkEntry {
         .orderBy("o_custkey", "rn", "o_orderkey")
     }),
 
+    // ---- relational coverage: set ops (EXCEPT/INTERSECT) ----
+    "q4_setop" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val p = s.read.parquet(s"$dir/part.parquet")
+      val used = li.select(col("l_partkey").as("p_partkey")).distinct()
+      val large = p.filter(col("p_size") > 25).select(col("p_partkey"))
+      used.intersect(large).withColumnRenamed("p_partkey", "partkey")
+        .union(used.exceptAll(used)) // exercise both set ops in one plan
+        .orderBy("partkey")
+    }),
+
+    // ---- relational coverage: ROLLUP grouping sets ----
+    "q5_rollup" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // ---- dedup: embedding-cosine near-dup pairs (planted, oracled) ----
     // Planted near-copies: vec_id % 25 == 0 gets a perturbed twin at
     // vec_id + 100000; pairwise cosine >= 0.8 recovers exactly the 20
@@ -457,6 +477,18 @@ object SparkEntry {
         .orderBy("doc_id")))
 
   def oracleSql: Map[String, String] = Map(
+    "q4_setop" ->
+      ("SELECT partkey FROM (" +
+        "SELECT DISTINCT l_partkey AS partkey FROM lineitem " +
+        "INTERSECT SELECT p_partkey FROM part WHERE p_size > 25) " +
+        "ORDER BY partkey"),
+
+    "q5_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n_rows, " +
+        "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+
     "dedup_embedding_pairs" ->
       ("WITH planted AS (SELECT vec_id + 100000 AS vec_id, " +
         "list_transform(CAST(embedding AS DOUBLE[]), (x, i) -> " +

@@ -183,17 +183,31 @@ object Heuristics {
     while (wi < nW) { wHash(wi) = NGramLM.hashWord(ws(wi)); wLen(wi) = ws(wi).length; wi += 1 }
 
     // packed open-addressed Long -> (count:44 | charLen:20) counter
+    // prefix sums let the sliding window read each word once per k
+    val lenPrefix = new Array[Int](nW + 1)
+    wi = 0
+    while (wi < nW) { lenPrefix(wi + 1) = lenPrefix(wi) + wLen(wi); wi += 1 }
+
     def ngramStats(k: Int): (Long, Long, Double) = {
       // returns (maxCount, maxCountLen, dupCharMass)
       if (nW < k) return (0L, 0L, 0.0)
       val m = new PackedCounter(math.max(16, nW))
+      // slideable polynomial rolling hash over the word-hash sequence:
+      // h_i = sum wHash(i+j) * P^(k-1-j); O(1) per slide instead of O(k)
+      val P = 0x100000001b3L
+      var pK = 1L // P^(k-1)
+      var j = 1
+      while (j < k) { pK *= P; j += 1 }
+      var h = 0L
       var i = 0
-      while (i + k <= nW) {
-        var h = 0x9e3779b97f4a7c15L
-        var len = k - 1
-        var j = i
-        while (j < i + k) { h = NGramLM.combine(h, wHash(j)); len += wLen(j); j += 1 }
-        m.add(h, len)
+      while (i < k) { h = h * P + wHash(i); i += 1 }
+      m.add(NGramLM.combine(h, k.toLong),
+        lenPrefix(k) - lenPrefix(0) + (k - 1))
+      i = k
+      while (i < nW) {
+        h = (h - wHash(i - k) * pK) * P + wHash(i)
+        m.add(NGramLM.combine(h, k.toLong),
+          lenPrefix(i + 1) - lenPrefix(i + 1 - k) + (k - 1))
         i += 1
       }
       m.stats()
