@@ -54,6 +54,24 @@ object CoreProps extends Properties("graft.core") {
       PiiDetector.detectAndScrub(once)._4 == once
     }
 
+  // adversarial doc generator for the scanner differential: pii strings,
+  // digit runs, credit literals, emails mid-word, unicode digits, NBSP
+  private val advDocGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.oneOf("123-45-6789", "987654321", "12345678901", "credit score: 750",
+      "Credit Report: very good", "4111 1111 1111 1111", "(415) 555-0199",
+      "a@b.com", "user.name+tag@example.co.uk", "10.1.2.3", "99999",
+      "credit", "creditscore:750", "score:", "cred", "C", "(", "(((",
+      "xcredit report: bad", "ab123-45-6789cd", "zz@", "@zz", "١٢٣-٤٥-٦٧٨٩",
+      "credit score: 812", "1234567890@example.com", ".b@c.de",
+      "-a@b.io", "12.34", "...", "#tag"),
+    Gen.alphaNumStr, Gen.const(" "), Gen.const("\n"),
+    Gen.const(""))).map(_.mkString(" "))
+
+  property("dispatch scanner == combined-regex scanner (differential)") =
+    forAll(advDocGen) { doc =>
+      PiiDetector.scanFast(doc) == PiiDetector.scan(doc)
+    }
+
   property("prefix detection offsets stable under concatenation") =
     forAll(Gen.listOf(piiWordGen), Gen.listOf(piiWordGen)) { (a, b) =>
       val ta = a.mkString(" ")

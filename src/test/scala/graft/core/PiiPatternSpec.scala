@@ -158,6 +158,22 @@ class PiiPatternSpec extends AnyFunSuite {
       PiiType.CreditCardNumber)
   }
 
+  test("dispatch scanner differential: 1000 synthetic pages + goldens") {
+    var i = 0L
+    while (i < 1000L) {
+      graft.model.PagesSynth.generate(i, validated = false)._2.text.foreach { t =>
+        assert(PiiDetector.scanFast(t) == PiiDetector.scan(t), s"doc $i")
+      }
+      i += 1
+    }
+    Seq("doc01.txt", "doc02.txt", "doc03.txt").foreach { f =>
+      val src = scala.io.Source.fromResource(s"golden/$f", getClass.getClassLoader)
+      val text = try src.mkString finally src.close()
+      val (full, _) = Tokenizer.tokenize(text)
+      assert(PiiDetector.scanFast(full) == PiiDetector.scan(full), f)
+    }
+  }
+
   test("linear scan on pathological runs (1 MB single token)") {
     // regression: the bare email pattern made this O(n^2) — each scan
     // position re-walked the alphabetic run (a 1 MB doc effectively hung)
