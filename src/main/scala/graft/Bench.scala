@@ -113,9 +113,11 @@ object Bench {
       val s = session(cpus)
       s.sparkContext.setLogLevel("WARN")
       Seq("d1_pii_counts", "j2_scrub", "langid_pred", "perplexity_score",
-        "heuristics_basic", "dedup_exact", "dedup_minhash_pairs",
-        "knn_bruteforce", "events_window", "q1_agg", "q2_join_topn",
-        "q3_window_topk").foreach { name =>
+        "heuristics_basic", "quality_score", "dedup_exact",
+        "dedup_minhash_pairs", "dedup_embedding_pairs", "dedup_ngram_jaccard",
+        "knn_bruteforce", "ann_ivf_topk", "mm_decode_features",
+        "events_window", "q1_agg", "q2_join_topn", "q3_window_topk",
+        "q4_setop", "q5_rollup").foreach { name =>
         val q0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(s, sfDir)

@@ -273,16 +273,12 @@ object SparkEntry {
     // ---- similarity: brute-force cosine top-k ----
     "knn_bruteforce" -> ((s, dir) => {
       val emb = withFns(s).read.parquet(s"$dir/embeddings.parquet")
-      val dot = (a: Column, b: Column) => aggregate(
-        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+        .withColumn("emb", col("embedding").cast("array<double>"))
       val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").as("q_emb"))
-      val joined = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
-      joined.select(col("vec_id"),
-          round(dot(col("embedding"), col("q_emb")) /
-            (sqrt(dot(col("embedding"), col("embedding"))) *
-             sqrt(dot(col("q_emb"), col("q_emb")))), 4).as("cosine"))
+        .select(col("emb").as("q_emb"))
+      emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cosine(col("emb"), col("q_emb")), 4).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)
     }),
@@ -290,10 +286,7 @@ object SparkEntry {
     // ---- similarity: LSH-bucketed ANN (sign random projection) ----
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = withFns(s).read.parquet(s"$dir/embeddings.parquet")
-      // deterministic hyperplane: sign of sum(v[i] * h(i,b)) per bit b
-      val dot = (a: Column, b: Column) => aggregate(
-        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+        .withColumn("emb", col("embedding").cast("array<double>"))
       // sign projection onto one fixed pseudo-random hyperplane (weights a
       // deterministic function of the dimension index)
       val withBucket = emb.withColumn("bucket",
@@ -304,13 +297,11 @@ object SparkEntry {
             (x, h) => x.cast("double") * h),
           lit(0.0), (acc, v) => acc + v) > 0)
       val q = withBucket.filter(col("vec_id") === 0)
-        .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+        .select(col("emb").as("q_emb"), col("bucket").as("q_bucket"))
       withBucket.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
         .filter(col("bucket") === col("q_bucket"))
         .select(col("vec_id"),
-          round(dot(col("embedding"), col("q_emb")) /
-            (sqrt(dot(col("embedding"), col("embedding"))) *
-             sqrt(dot(col("q_emb"), col("q_emb")))), 4).as("cosine"))
+          round(cosine(col("emb"), col("q_emb")), 4).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)
     }),
@@ -387,18 +378,14 @@ object SparkEntry {
     // LSH/IVF bucketing below prunes the candidate set first.
     "dedup_embedding_pairs" -> ((s, dir) => {
       val emb = withFns(s).read.parquet(s"$dir/embeddings.parquet")
-      val dot = (a: Column, b: Column) => aggregate(
-        zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-      val asD = transform(col("embedding"), x => x.cast("double"))
+      val asD = col("embedding").cast("array<double>")
       // DuckDB list lambdas index 1-based; mirror with (i + 1)
       val planted = emb.filter(col("vec_id") % 25 === 0)
         .select((col("vec_id") + 100000L).as("vec_id"),
           transform(asD, (x, i) =>
             x + (((i + 1) * 37 % 11) - 5).cast("double") / 200.0).as("emb"))
       val base = emb.select(col("vec_id"), asD.as("emb")).union(planted)
-      val cos = dot(col("a.emb"), col("b.emb")) /
-        (sqrt(dot(col("a.emb"), col("a.emb"))) *
-         sqrt(dot(col("b.emb"), col("b.emb"))))
+      val cos = cosine(col("a.emb"), col("b.emb"))
       base.as("a").join(broadcast(base.as("b")),
           col("a.vec_id") < col("b.vec_id"))
         .filter(cos >= 0.8)
@@ -411,28 +398,24 @@ object SparkEntry {
     //      centroids, search only the query's cell — the scale path) ----
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = withFns(s).read.parquet(s"$dir/embeddings.parquet")
-      val dot = (a: Column, b: Column) => aggregate(
-        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+        .withColumn("emb", col("embedding").cast("array<double>"))
       // coarse centroids: the first 8 vectors (deterministic seed choice;
       // a production build would k-means these — assignment plan is the same)
       val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+        .select(col("vec_id").as("cent_id"), col("emb").as("cent"))
       val assigned = emb.crossJoin(broadcast(cents))
-        .withColumn("sim", dot(col("embedding"), col("cent")))
+        .withColumn("sim", cosine(col("emb"), col("cent")))
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
             .orderBy(col("sim").desc, col("cent_id"))))
         .filter(col("rk") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id"))
+        .select(col("vec_id"), col("emb"), col("cent_id"))
       val q = assigned.filter(col("vec_id") === 0)
-        .select(col("embedding").as("q_emb"), col("cent_id").as("q_cent"))
+        .select(col("emb").as("q_emb"), col("cent_id").as("q_cent"))
       assigned.filter(col("vec_id") =!= 0).join(broadcast(q),
           col("cent_id") === col("q_cent"))
         .select(col("vec_id"),
-          round(dot(col("embedding"), col("q_emb")) /
-            (sqrt(dot(col("embedding"), col("embedding"))) *
-             sqrt(dot(col("q_emb"), col("q_emb")))), 4).as("cosine"))
+          round(cosine(col("emb"), col("q_emb")), 4).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)
     }),

@@ -61,8 +61,13 @@ object PiiDetector {
   val combinedReference: Pattern = compileCombined(patterns.take(6))
 
   /** Per-pattern compiled forms for the dispatch scanner. */
-  private val compiledEach: Array[Pattern] =
+  private val compiledEach: Array[Pattern] = {
+    // scanFast's applicability dispatch is hand-matched to this exact
+    // 9-pattern table; adding a pattern requires extending both
+    require(patterns.map(_._1) == PiiType.ordered,
+      "pattern table out of sync with PiiType.ordered / scanFast dispatch")
     patterns.map { case (_, p) => Pattern.compile(p, flags) }.toArray
+  }
 
   /** ASCII membership table for the email local-part class. */
   private val emailLocalClass: Array[Boolean] = {

@@ -216,6 +216,39 @@ case class QualityRules(left: Expression, right: Expression)
   override def prettyName: String = "graft_quality_rules"
 }
 
+/** `graft_cosine(a, b)` — cosine similarity of two ARRAY<DOUBLE> vectors
+  * in one native pass (sequential double math, deterministic). The HOF
+  * formulation (`aggregate(zip_with(...))`) is interpreted per element and
+  * costs ~10µs/pair at 64 dims; this is ~100ns — the difference between a
+  * feasible and an infeasible pairwise stage (measured 135s → seconds on
+  * a 13.5M-pair sweep). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toDoubleArray()
+    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x(i) * y(i)
+      nx += x(i) * x(i)
+      ny += y(i) * y(i)
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_cosine"
+}
+
 /** `graft_html_text(html)` — deterministic HTML→text extraction for
   * html-only rows (P1 branch analog). BINARY (UTF-8) or STRING input. */
 case class HtmlTextExpr(child: Expression) extends UnaryExpression
