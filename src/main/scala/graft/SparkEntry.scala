@@ -232,15 +232,9 @@ object SparkEntry {
 
     // ---- dedup: 3-gram-shingle Jaccard over planted near-dup clusters ----
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val wsCol = transform(
-        filter(split(col("t"), " "), w => w =!= ""), w => lower(w))
-      val shCol = when(size(wsCol) >= 3,
-        array_distinct(transform(sequence(lit(0), size(wsCol) - 3),
-          i => concat_ws(" ", slice(wsCol, i + 1, lit(3))))))
-        .otherwise(array(concat_ws(" ", wsCol)))
       val d = docs(s, dir).withColumn("t", expr(nearDupSql))
         .filter(expr("doc_id % 25 = 0"))
-        .select(col("doc_id"), shCol.as("sh"))
+        .select(col("doc_id"), shingles(col("t")).as("sh"))
       val sh = d.select(col("doc_id"), explode(col("sh")).as("w"))
       val pair = sh.as("a").join(sh.as("b"),
           col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))

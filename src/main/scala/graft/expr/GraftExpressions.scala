@@ -249,6 +249,42 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "graft_cosine"
 }
 
+/** `graft_shingles(text)` — distinct 3-word shingle strings (single-space
+  * word split, lowercased, first-occurrence order) — the native form of
+  * the HOF pyramid `array_distinct(transform(sequence(...), slice/concat))`
+  * whose interpreted evaluation dominates the Jaccard dedup stage. String
+  * semantics are identical to the SQL formulation the DuckDB oracle runs. */
+case class ShingleExpr(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String].toString
+    val words = new scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && text.charAt(i) == ' ') i += 1
+      val w0 = i
+      while (i < n && text.charAt(i) != ' ') i += 1
+      if (i > w0)
+        words += text.substring(w0, i).toLowerCase(java.util.Locale.ROOT)
+    }
+    val out = new java.util.LinkedHashSet[String]()
+    if (words.length < 3) {
+      out.add(words.mkString(" "))
+    } else {
+      var j = 0
+      while (j + 3 <= words.length) {
+        out.add(words(j) + " " + words(j + 1) + " " + words(j + 2))
+        j += 1
+      }
+    }
+    new GenericArrayData(
+      out.toArray.map(s => UTF8String.fromString(s.asInstanceOf[String]): Any))
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleExpr = copy(c)
+  override def prettyName: String = "graft_shingles"
+}
+
 /** `graft_html_text(html)` — deterministic HTML→text extraction for
   * html-only rows (P1 branch analog). BINARY (UTF-8) or STRING input. */
 case class HtmlTextExpr(child: Expression) extends UnaryExpression

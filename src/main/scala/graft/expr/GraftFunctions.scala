@@ -25,6 +25,7 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.Literal("en")) },
     "graft_html_text" -> { es => HtmlTextExpr(es.head) },
     "graft_cosine" -> { es => CosineSim(es(0), es(1)) },
+    "graft_shingles" -> { es => ShingleExpr(es.head) },
     "graft_word_count" -> { es => WordCount(es.head) },
     "graft_minhash" -> { es => MinHashSig(es.head) },
     "graft_lsh_bands" -> { es => LshBands(es.head) },
@@ -49,6 +50,7 @@ object GraftFunctions {
   def html_text(c: Column): Column = Shim.column(HtmlTextExpr(Shim.expression(c)))
   def cosine(a: Column, b: Column): Column =
     Shim.column(CosineSim(Shim.expression(a), Shim.expression(b)))
+  def shingles(c: Column): Column = Shim.column(ShingleExpr(Shim.expression(c)))
   def word_count(c: Column): Column = Shim.column(WordCount(Shim.expression(c)))
   def minhash(c: Column): Column = Shim.column(MinHashSig(Shim.expression(c)))
   def lsh_bands(c: Column): Column = Shim.column(LshBands(Shim.expression(c)))
