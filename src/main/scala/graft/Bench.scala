@@ -137,7 +137,12 @@ object Bench {
       .mkString("{", ",", "}")
     val dps = Seq(4, 8, 16, 32).map(l =>
       f""""docs_per_sec_local$l":${BenchDocs / times(l)}%.1f""").mkString(",")
-    println(
-      f"""{"metric":"pipeline_e2e_local32","value":${times(32)}%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_docs":$BenchDocs,$dps,"scaling_efficiency_4_to_16":${eff(4, 16)}%.3f,"scaling_efficiency_8_to_32":${eff(8, 32)}%.3f,"steal_jiffies_local16":${steals(16)},"steal_jiffies_local32":${steals(32)}}""")
+    val line =
+      f"""{"metric":"pipeline_e2e_local32","value":${times(32)}%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_docs":$BenchDocs,$dps,"scaling_efficiency_4_to_16":${eff(4, 16)}%.3f,"scaling_efficiency_8_to_32":${eff(8, 32)}%.3f,"steal_jiffies_local16":${steals(16)},"steal_jiffies_local32":${steals(32)}}"""
+    // stdout (bare — build.sbt sets StdoutOutput so sbt adds no prefix)
+    // plus a file copy in case any wrapper still decorates stdout
+    println(line)
+    Files.createDirectories(Paths.get("BENCH"))
+    Files.writeString(Paths.get("BENCH/last_run.json"), line + "\n")
   }
 }

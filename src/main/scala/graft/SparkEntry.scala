@@ -116,12 +116,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---- D1 full lineage: match structs (offsets + labels) ----
-    "d2_pii_matches" -> ((s, dir) =>
-      docs(s, dir).withColumn("pii_text", expr(piiTextSql))
-        .select(col("doc_id"),
-          pii_extract(col("pii_text")).as("pii_matches"))
-        .orderBy("doc_id")),
+    // ---- D1 full lineage: one scalar row per match (the driver's pandas
+    //      compare cannot sort nested arrays, so the struct array is
+    //      flattened; offsets stay golden-tested in PiiDetectorSpec).
+    //      seq = 1-based position of the match within its type, computed
+    //      from the already-sorted match array in the same project — no
+    //      shuffle, single scan. ----
+    "d2_pii_matches" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("pii_text", expr(piiTextSql))
+        .select(col("doc_id"), pii_extract(col("pii_text")).as("ms"))
+      d.select(col("doc_id"), col("ms"),
+          posexplode(col("ms")).as(Seq("pos", "m")))
+        .select(col("doc_id"), col("m.pii_type").as("pii_type"),
+          size(filter(slice(col("ms"), lit(1), col("pos") + 1),
+            x => x("pii_type") === col("m.pii_type"))).cast("long").as("seq"),
+          col("m.text").as("match_text"))
+        .orderBy("doc_id", "pii_type", "seq")
+    }),
 
     // ---- J1+J2+R1: span join + whole-token scrub ----
     "j2_scrub" -> ((s, dir) =>
@@ -131,7 +142,12 @@ object SparkEntry {
           col("p.n_redacted").cast("long").as("n_redacted"))
         .orderBy("doc_id")),
 
-    // ---- langid stage (SURVEY §2.11) ----
+    // ---- langid stage (SURVEY §2.11). No oracle: the testdata `lang`
+    //      column is a source label, not the text's language (measured
+    //      43% agreement at sf0.01 — the synthetic text bodies do not
+    //      track the label), and DuckDB has no n-gram classifier to
+    //      mirror. Gold-gated in LangIdSpec (100% on PagesSynth truths,
+    //      where the label IS the text language by construction). ----
     "langid_pred" -> ((s, dir) =>
       docs(s, dir).withColumn("lid", langid(col("text")))
         .select(col("doc_id"), col("lid.lang").as("lang_pred"),
@@ -200,35 +216,54 @@ object SparkEntry {
         .filter(col("n_dups") > 1)
         .orderBy("text_hash")),
 
-    // ---- dedup: MinHash + LSH band-join candidate pairs (planted) ----
-    // Scale shape: only (doc_id, band) longs flow through the self-join
-    // shuffle; signatures are re-attached to the (small) distinct candidate
-    // set afterwards. At real scale the signature table is materialized
-    // once and both steps read it — same plan, one less recompute.
+    // ---- dedup: MinHash/LSH near-dup discovery — the full scale pipeline:
+    //   1. band join on LSH keys (only (doc_id, band) longs cross the
+    //      shuffle); empty docs emit no bands (skew guard in the kernel);
+    //   2. band-bucket size cap — a hot bucket (boilerplate, templated
+    //      pages) is dropped rather than joined quadratically;
+    //   3. exact shingle-Jaccard CONFIRMATION over the candidate set only
+    //      (array_intersect of the two shingle sets — native, no shuffle
+    //      beyond re-attaching the shingle arrays to candidates).
+    // The oracle brute-forces exact Jaccard over all pairs — feasible at
+    // verify scale; the Spark plan never goes all-pairs. LSH(b=32,r=4)
+    // recall at the J>=0.8 output threshold is 1-(1-0.8^4)^32 ≈ 1-5e-8.
     "dedup_minhash_pairs" -> ((s, dir) => {
       val d = docs(s, dir).withColumn("t", expr(nearDupSql))
       val bandRows = d.select(col("doc_id"),
         explode(lsh_bands(col("t"))).as("band"))
-      val cand = bandRows.as("a").join(bandRows.as("b"),
+      val safeBuckets = bandRows.groupBy("band")
+        .agg(count(lit(1)).as("bn")).filter(col("bn") <= 64).select("band")
+      val safe = bandRows.join(safeBuckets, "band")
+      val cand = safe.as("a").join(safe.as("b"),
           col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
-      val sigs = d.select(col("doc_id"), minhash(col("t")).as("sig"))
-      cand.join(sigs.as("sa"), col("id_a") === col("sa.doc_id"))
-        .join(sigs.as("sb"), col("id_b") === col("sb.doc_id"))
+      val sh = d.select(col("doc_id"), shingles(col("t")).as("sh"))
+      cand.join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("id_b") === col("sb.doc_id"))
         .select(col("id_a"), col("id_b"),
-          aggregate(zip_with(col("sa.sig"), col("sb.sig"),
-            (x, y) => when(x === y, 1L).otherwise(0L)),
-            lit(0L), (acc, v) => acc + v).as("n_eq_hashes"))
-        .filter(col("n_eq_hashes") >= 64) // est. Jaccard >= 0.5 of 128
+          size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long")
+            .as("n_inter"),
+          (size(col("sa.sh")) + size(col("sb.sh")) -
+            size(array_intersect(col("sa.sh"), col("sb.sh")))).cast("long")
+            .as("n_union"))
+        .filter(col("n_inter") * lit(10) >= col("n_union") * lit(8)) // J>=0.8
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- dedup: SimHash per doc ----
+    // ---- dedup: SimHash invariants over planted exact-dup clusters.
+    //      Raw 64-bit hashes are not DuckDB-mirrorable, so the driver row
+    //      is the invariant a dedup consumer relies on: identical text =>
+    //      identical SimHash (one distinct hash per planted cluster).
+    //      Raw hash values + near-dup hamming stay golden in DedupSpec. ----
     "dedup_simhash" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"), simhash(col("text")).as("simhash"))
-        .orderBy("doc_id")),
+      docs(s, dir).withColumn("t", expr(dupTextSql))
+        .filter(col("doc_id") % 11 < 2)
+        .groupBy((col("doc_id") % 3).as("cluster"))
+        .agg(countDistinct(simhash(col("t"))).as("n_distinct_simhash"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("cluster")),
 
     // ---- dedup: 3-gram-shingle Jaccard over planted near-dup clusters ----
     "dedup_ngram_jaccard" -> ((s, dir) => {
@@ -249,11 +284,23 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- fingerprinting ----
-    "text_fingerprint" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-        fingerprint(col("text")).as("fp"), simhash(col("text")).as("sh"))
-        .orderBy("doc_id")),
+    // ---- fingerprinting: invariants (raw hashes golden in DedupSpec).
+    //      Planted clusters collapse to 1 fingerprint each; the unplanted
+    //      remainder (unique texts) must stay collision-free. ----
+    "text_fingerprint" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("t", expr(dupTextSql))
+        .withColumn("fp", fingerprint(col("t")))
+      val clusters = d.filter(col("doc_id") % 11 < 2)
+        .groupBy(concat(lit("cluster_"), col("doc_id") % 3).as("grp"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_distinct_fp"))
+      val rest = d.filter(col("doc_id") % 11 >= 2)
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_distinct_fp"))
+        .select(lit("unique_texts").as("grp"), col("n_docs"),
+          col("n_distinct_fp"))
+      clusters.unionByName(rest).orderBy("grp")
+    }),
 
     // ---- text analysis: token counting (whitespace + BPE-ish regex) ----
     "text_token_counts" -> ((s, dir) =>
@@ -277,23 +324,21 @@ object SparkEntry {
         .limit(10)
     }),
 
-    // ---- similarity: LSH-bucketed ANN (sign random projection) ----
+    // ---- similarity: LSH ANN — 16-hyperplane signed projection (native
+    //      graft_lsh_project, 65k buckets) + hamming-radius multi-probe.
+    //      Candidates = sigs within hamming distance 5 of the query's;
+    //      rank candidates by exact cosine. For batch ANN at scale the
+    //      probe set is enumerated (bit-flip expansion) and equi-joined on
+    //      the signature; with a single query vector the broadcast +
+    //      popcount filter below is the same pruning. ----
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = withFns(s).read.parquet(s"$dir/embeddings.parquet")
         .withColumn("emb", col("embedding").cast("array<double>"))
-      // sign projection onto one fixed pseudo-random hyperplane (weights a
-      // deterministic function of the dimension index)
-      val withBucket = emb.withColumn("bucket",
-        aggregate(
-          zip_with(col("embedding"),
-            transform(sequence(lit(0), size(col("embedding")) - 1),
-              i => pmod(i * 2654435761L, lit(1000)).cast("double") / 500.0 - 1.0),
-            (x, h) => x.cast("double") * h),
-          lit(0.0), (acc, v) => acc + v) > 0)
-      val q = withBucket.filter(col("vec_id") === 0)
-        .select(col("emb").as("q_emb"), col("bucket").as("q_bucket"))
-      withBucket.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
-        .filter(col("bucket") === col("q_bucket"))
+        .withColumn("sig", lsh_project(col("emb")))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("emb").as("q_emb"), col("sig").as("q_sig"))
+      emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .filter(expr("bit_count(sig ^ q_sig)") <= 5)
         .select(col("vec_id"),
           round(cosine(col("emb"), col("q_emb")), 4).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
@@ -301,22 +346,29 @@ object SparkEntry {
     }),
 
     // ---- streaming-shaped: tumbling window aggregation over events ----
+    // Window key as epoch seconds and the value sum as integer micros:
+    // both BIGINT on both sides (see q1_agg note on hash-exact dtypes).
     "events_window" -> ((s, dir) =>
       s.read.parquet(s"$dir/events.parquet")
         .groupBy(window(col("ts"), "5 minutes").getField("start")
-          .as("window_start"), col("event_type"))
+          .cast("timestamp").cast("long").as("window_start"),
+          col("event_type"))
         .agg(count(lit(1)).as("n"),
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"),
-          sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+          sum(round(col("value") * 1000000).cast("long")).as("sum_value_micros"))
         .orderBy("window_start", "event_type")),
 
     // ---- relational coverage: agg / broadcast join / window top-k ----
+    // Money flows as integer cents end-to-end: round(x*100) is the same
+    // double op in Spark and DuckDB, and BIGINT sums are exact — DECIMAL
+    // sums hash-fail because DuckDB's pandas bridge renders them float64.
     "q1_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_cents"),
+          sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("sum_price_cents"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -328,7 +380,7 @@ object SparkEntry {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+          sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
         .orderBy("n_name")
     }),
 
@@ -340,7 +392,7 @@ object SparkEntry {
       o.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"),
-          col("o_totalprice").cast("decimal(18,2)").as("price"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
           col("rn").cast("long").as("rn"))
         .orderBy("o_custkey", "rn", "o_orderkey")
     }),
@@ -361,7 +413,7 @@ object SparkEntry {
       s.read.parquet(s"$dir/lineitem.parquet")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_cents"))
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
@@ -388,22 +440,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- similarity: IVF-bucketed ANN (coarse quantizer = first-K seed
-    //      centroids, search only the query's cell — the scale path) ----
+    // ---- similarity: IVF ANN (coarse quantizer = first-K seed centroids,
+    //      search only the query's cell — the scale path). The codebook is
+    //      tiny by construction, so it is collected and shipped as a
+    //      literal: assignment is ONE native expression in the scan
+    //      projection — no per-row join, no window, no extra shuffle.
+    //      (A production build would k-means the codebook on a sample;
+    //      the assignment plan is identical.) ----
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = withFns(s).read.parquet(s"$dir/embeddings.parquet")
         .withColumn("emb", col("embedding").cast("array<double>"))
-      // coarse centroids: the first 8 vectors (deterministic seed choice;
-      // a production build would k-means these — assignment plan is the same)
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cent_id"), col("emb").as("cent"))
-      val assigned = emb.crossJoin(broadcast(cents))
-        .withColumn("sim", cosine(col("emb"), col("cent")))
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-            .orderBy(col("sim").desc, col("cent_id"))))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("emb"), col("cent_id"))
+      val centroids: Seq[Seq[Double]] = emb.filter(col("vec_id") < 8)
+        .orderBy("vec_id").select("emb").collect()
+        .map(_.getSeq[Double](0)).toSeq
+      val assigned = emb.withColumn("cent_id",
+        ivf_assign(col("emb"), typedLit(centroids)))
       val q = assigned.filter(col("vec_id") === 0)
         .select(col("emb").as("q_emb"), col("cent_id").as("q_cent"))
       assigned.filter(col("vec_id") =!= 0).join(broadcast(q),
@@ -428,7 +479,10 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---- multimodal plumbing: opaque binary + batched stub decode ----
+    // ---- multimodal plumbing: opaque binary + batched stub decode.
+    //      Nested frame offsets are flattened to scalars (the driver's
+    //      pandas compare cannot sort array columns); the full offsets
+    //      array stays covered by MultimodalSpec. ----
     "mm_decode_features" -> ((s, dir) => {
       import s.implicits._
       val blobs = docs(s, dir)
@@ -437,6 +491,11 @@ object SparkEntry {
       graft.ops.Multimodal.extractFeatures(blobs)
         .toDF()
         .withColumn("n_frames", size(col("frame_offsets_ms")).cast("long"))
+        .withColumn("first_offset_ms",
+          when(size(col("frame_offsets_ms")) > 0,
+            element_at(col("frame_offsets_ms"), 1)).otherwise(lit(-1))
+            .cast("long"))
+        .drop("frame_offsets_ms")
         .orderBy("doc_id")
     }),
 
@@ -447,10 +506,13 @@ object SparkEntry {
         .select(col("doc_id"),
           length(col("blob")).cast("long").as("blob_bytes"),
           // STUBBED decode (no image/audio libs in this container): fake,
-          // deterministic metadata derived from content; the Spark-side
-          // plumbing (binary col, batched expr, schema) is real.
-          pmod(xxhash64(col("blob")), lit(1920)).cast("long").as("fake_width"),
-          pmod(xxhash64(col("blob"), lit(1)), lit(1080)).cast("long").as("fake_height"))
+          // deterministic metadata from the byte length; the Spark-side
+          // plumbing (binary col, projection, schema) is real and the
+          // arithmetic is mirrored in the DuckDB oracle.
+          (lit(320) + (length(col("blob")) * 7919) % 1600).cast("long")
+            .as("fake_width"),
+          (lit(240) + (length(col("blob")) * 104729) % 900).cast("long")
+            .as("fake_height"))
         .orderBy("doc_id")))
 
   def oracleSql: Map[String, String] = Map(
@@ -462,7 +524,8 @@ object SparkEntry {
 
     "q5_rollup" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n_rows, " +
-        "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty " +
+        "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) " +
+        "AS sum_qty_cents " +
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
 
@@ -521,6 +584,23 @@ object SparkEntry {
         s"'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ip " +
         s"FROM documents ORDER BY doc_id"),
 
+    // per-type match rows with ordinal: unnest(range) gives the 1-based
+    // in-order position; regex finditer order == the engine's sorted order
+    // within a type (matches are emitted in text order).
+    "d2_pii_matches" -> {
+      def one(label: String, pat: String): String =
+        s"SELECT doc_id, '$label' AS pii_type, CAST(i AS BIGINT) AS seq, " +
+          s"ms[i] AS match_text FROM (SELECT doc_id, ms, " +
+          s"unnest(range(1, len(ms) + 1)) AS i FROM (SELECT doc_id, " +
+          s"regexp_extract_all($piiTextDuck, '$pat') AS ms FROM documents))"
+      Seq(
+        one("SSN", "\\d{3}-\\d{2}-\\d{4}"),
+        one("Email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"),
+        one("Phone Number", "\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4}"),
+        one("IP Address", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"))
+        .mkString("", " UNION ALL ", " ORDER BY doc_id, pii_type, seq")
+    },
+
     "heuristics_basic" -> {
       val words = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
       val wc = s"len($words)"
@@ -535,7 +615,8 @@ object SparkEntry {
       val lorem = "CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END"
       val curly = "CASE WHEN contains(text, '{') THEN 1 ELSE 0 END"
       s"SELECT doc_id, $wc AS word_count, $stop AS stopword_count, " +
-        s"$sent AS sentences, $lorem AS has_lorem, $curly AS has_curly, " +
+        s"$sent AS sentences, CAST($lorem AS BIGINT) AS has_lorem, " +
+        s"CAST($curly AS BIGINT) AS has_curly, " +
         s"NOT ($wc < 50 OR $wc > 100000 " +
         s"OR ($wc > 0 AND ($totalChars * 1.0 / $wc) < 3.0) " +
         s"OR ($totalChars * 1.0 / $wc) > 10.0 " +
@@ -559,25 +640,78 @@ object SparkEntry {
       val lorem = "CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END"
       val curly = "CASE WHEN contains(text, '{') THEN 1 ELSE 0 END"
       s"SELECT lang, count(*) AS n_docs, " +
-        s"sum(CASE WHEN NOT ($wc < 50 OR $wc > 100000 " +
+        s"CAST(sum(CASE WHEN NOT ($wc < 50 OR $wc > 100000 " +
         s"OR ($wc > 0 AND ($totalChars * 1.0 / $wc) < 3.0) " +
         s"OR ($totalChars * 1.0 / $wc) > 10.0 " +
         s"OR ($symbols * 1.0 / $wc) > 0.1 " +
         s"OR ($wc > 0 AND ($alpha * 1.0 / $wc) < 0.8) " +
         s"OR $stop < 2 OR $lorem > 0 OR $curly > 0 OR $sent < 3) " +
-        s"THEN 1 ELSE 0 END) AS n_keep " +
+        s"THEN 1 ELSE 0 END) AS BIGINT) AS n_keep " +
         s"FROM documents GROUP BY lang ORDER BY lang"
     },
 
+    // DuckDB sum(BIGINT) is HUGEINT and pandas-renders as float64; the
+    // driver's hash compare is dtype-exact, so cast back to BIGINT.
     "o4_metrics" ->
-      ("SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars, " +
+      ("SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
         "max(n_chars) AS max_chars FROM documents GROUP BY source " +
         "ORDER BY source"),
+
+    "mm_meta_extract" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS blob_bytes, " +
+        "CAST(320 + (octet_length(encode(text)) * 7919) % 1600 AS BIGINT) " +
+        "AS fake_width, " +
+        "CAST(240 + (octet_length(encode(text)) * 104729) % 900 AS BIGINT) " +
+        "AS fake_height FROM documents ORDER BY doc_id"),
 
     "dedup_exact" ->
       (s"SELECT md5($dupTextDuck) AS text_hash, count(*) AS n_dups, " +
         s"min(doc_id) AS min_doc_id FROM documents " +
         s"GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash"),
+
+    // ground truth for the LSH pipeline: brute-force exact 3-gram-shingle
+    // Jaccard >= 0.8 over ALL pairs (feasible at verify scale only; the
+    // Spark side reaches the same set through banding + confirmation)
+    "dedup_minhash_pairs" -> {
+      val base = "'the quick brown fox jumps over the lazy dog while the " +
+        "wise old owl watches from the tall oak tree near the quiet river " +
+        "bank every single morning of the long warm summer season tail " +
+        "variant ' || (doc_id % 4)"
+      s"WITH w AS (SELECT doc_id, " +
+        s"list_transform(list_filter(string_split(" +
+        s"CASE WHEN doc_id % 25 = 0 THEN $base ELSE text END, ' '), " +
+        s"x -> x <> ''), x -> lower(x)) AS ws FROM documents), " +
+        s"d AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN " +
+        s"list_distinct(list_transform(range(0, len(ws) - 2), " +
+        s"i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) " +
+        s"ELSE [array_to_string(ws, ' ')] END AS sh FROM w), " +
+        s"sh AS (SELECT doc_id, unnest(d.sh) AS w FROM d), " +
+        s"pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        s"count(*) AS n_inter FROM sh a JOIN sh b ON a.w = b.w " +
+        s"AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        s"sizes AS (SELECT doc_id, len(d.sh) AS n FROM d) " +
+        s"SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter, " +
+        s"CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union " +
+        s"FROM pair JOIN sizes sa ON id_a = sa.doc_id " +
+        s"JOIN sizes sb ON id_b = sb.doc_id " +
+        s"WHERE n_inter * 10 >= (sa.n + sb.n - n_inter) * 8 " +
+        s"ORDER BY id_a, id_b"
+    },
+
+    "dedup_simhash" ->
+      ("SELECT doc_id % 3 AS cluster, CAST(1 AS BIGINT) AS n_distinct_simhash, " +
+        "count(*) AS n_docs FROM documents WHERE doc_id % 11 < 2 " +
+        "GROUP BY 1 ORDER BY cluster"),
+
+    "text_fingerprint" ->
+      ("SELECT 'cluster_' || (doc_id % 3) AS grp, count(*) AS n_docs, " +
+        "CAST(1 AS BIGINT) AS n_distinct_fp FROM documents " +
+        "WHERE doc_id % 11 < 2 GROUP BY 1 " +
+        "UNION ALL " +
+        "SELECT 'unique_texts' AS grp, count(*) AS n_docs, " +
+        "count(*) AS n_distinct_fp FROM documents WHERE doc_id % 11 >= 2 " +
+        "ORDER BY grp"),
 
     "text_token_counts" ->
       ("SELECT doc_id, " +
@@ -592,6 +726,41 @@ object SparkEntry {
         "SELECT vec_id, round(list_cosine_similarity(" +
         "CAST(embedding AS DOUBLE[]), q_emb), 4) " +
         "AS cosine FROM embeddings, q WHERE vec_id <> 0 " +
+        "ORDER BY cosine DESC, vec_id LIMIT 10"),
+
+    // mirrors graft_lsh_project bit-for-bit: same integer hyperplane
+    // weights, 1-based (bit, dim) arithmetic (DuckDB list lambdas/indexing
+    // are 1-based)
+    "ann_lsh_topk" -> {
+      val sigExpr = (1 to 16).map { b =>
+        s"(CASE WHEN list_sum(list_transform(range(1, len(emb) + 1), " +
+          s"i -> emb[i] * CAST((2654435761 * i + 40503 * $b) % 9 - 4 " +
+          s"AS DOUBLE))) > 0 THEN ${1 << (b - 1)} ELSE 0 END)"
+      }.mkString(" + ")
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb " +
+        "FROM embeddings), " +
+        s"s AS (SELECT vec_id, emb, CAST($sigExpr AS BIGINT) AS sig FROM e), " +
+        "q AS (SELECT emb AS q_emb, sig AS q_sig FROM s WHERE vec_id = 0) " +
+        "SELECT vec_id, round(list_cosine_similarity(emb, q_emb), 4) " +
+        "AS cosine FROM s, q " +
+        "WHERE vec_id <> 0 AND bit_count(xor(sig, q_sig)) <= 5 " +
+        "ORDER BY cosine DESC, vec_id LIMIT 10"
+    },
+
+    "ann_ivf_topk" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb " +
+        "FROM embeddings), " +
+        "cents AS (SELECT vec_id AS cent_id, emb AS cent FROM e " +
+        "WHERE vec_id < 8), " +
+        "assign AS (SELECT e.vec_id, " +
+        "arg_max(cent_id, list_cosine_similarity(e.emb, cent)) AS cent_id " +
+        "FROM e CROSS JOIN cents GROUP BY e.vec_id), " +
+        "a AS (SELECT e.vec_id, e.emb, s.cent_id FROM e " +
+        "JOIN assign s ON e.vec_id = s.vec_id), " +
+        "q AS (SELECT emb AS q_emb, cent_id AS q_cent FROM a " +
+        "WHERE vec_id = 0) " +
+        "SELECT a.vec_id, round(list_cosine_similarity(a.emb, q_emb), 4) " +
+        "AS cosine FROM a, q WHERE a.vec_id <> 0 AND a.cent_id = q_cent " +
         "ORDER BY cosine DESC, vec_id LIMIT 10"),
 
     "dedup_ngram_jaccard" -> {
@@ -621,29 +790,34 @@ object SparkEntry {
     },
 
     "events_window" ->
-      ("SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, " +
+      ("SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) " +
+        "AS window_start, " +
         "event_type, count(*) AS n, min(value) AS min_value, " +
         "max(value) AS max_value, " +
-        "sum(CAST(value AS DECIMAL(18,6))) AS sum_value " +
+        "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) " +
+        "AS sum_value_micros " +
         "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),
 
     "q1_agg" ->
       ("SELECT l_returnflag, l_linestatus, " +
-        "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, " +
-        "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price, " +
+        "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) " +
+        "AS sum_qty_cents, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) " +
+        "AS sum_price_cents, " +
         "count(*) AS n_rows FROM lineitem GROUP BY 1, 2 " +
         "ORDER BY l_returnflag, l_linestatus"),
 
     "q2_join_topn" ->
       ("SELECT n_name, count(*) AS n_orders, " +
-        "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) " +
+        "AS revenue_cents " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey " +
         "GROUP BY n_name ORDER BY n_name"),
 
     "q3_window_topk" ->
       ("SELECT o_custkey, o_orderkey, " +
-        "CAST(o_totalprice AS DECIMAL(18,2)) AS price, rn FROM (" +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, rn FROM (" +
         "SELECT o_custkey, o_orderkey, o_totalprice, " +
         "row_number() OVER (PARTITION BY o_custkey " +
         "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +

@@ -62,10 +62,16 @@ object Dedup {
   }
 
   /** MinHash signature (numHashes mins over the shingle set). Empty text →
-    * all Long.MaxValue (never collides with a non-empty signature band). */
+    * all Long.MaxValue. NOTE: every empty doc shares that signature, so
+    * empty docs MUST NOT be banded (see [[lshBandKeysGuarded]]) — on real
+    * web data billions of near-empty pages would otherwise all land in one
+    * quadratic LSH bucket. */
   def minHashSignature(text: String, k: Int = DefaultShingleSize,
-                       numHashes: Int = DefaultNumHashes): Array[Long] = {
-    val sh = shingles(text, k)
+                       numHashes: Int = DefaultNumHashes): Array[Long] =
+    minHashFromShingles(shingles(text, k), numHashes)
+
+  def minHashFromShingles(sh: Array[Long],
+                          numHashes: Int = DefaultNumHashes): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var si = 0
     while (si < sh.length) {
@@ -79,6 +85,17 @@ object Dedup {
       si += 1
     }
     sig
+  }
+
+  /** LSH band keys for a document's text with the empty-doc skew guard:
+    * docs with no shingles emit NO bands (they cannot be near-duplicates of
+    * anything by the shingle-Jaccard definition, and banding them would
+    * collapse every empty/whitespace page into one quadratic bucket). */
+  def lshBandKeysGuarded(text: String, k: Int = DefaultShingleSize,
+                         bands: Int = DefaultBands): Array[Long] = {
+    val sh = shingles(text, k)
+    if (sh.isEmpty) Array.empty
+    else lshBandKeys(minHashFromShingles(sh), bands)
   }
 
   /** LSH band keys: hash of each band's rows. Two docs sharing any band key

@@ -322,12 +322,14 @@ case class MinHashSig(child: Expression) extends StringKernelExpression {
   override def prettyName: String = "graft_minhash"
 }
 
-/** `graft_lsh_bands(text)` — LSH band keys (32 bands x 4 rows), ARRAY<BIGINT>. */
+/** `graft_lsh_bands(text)` — LSH band keys (32 bands x 4 rows),
+  * ARRAY<BIGINT>. Empty/whitespace docs emit NO bands (skew guard — see
+  * [[graft.core.Dedup.lshBandKeysGuarded]]). */
 case class LshBands(child: Expression) extends StringKernelExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(Dedup.lshBandKeys(
-      Dedup.minHashSignature(v.asInstanceOf[UTF8String].toString)))
+    new GenericArrayData(
+      Dedup.lshBandKeysGuarded(v.asInstanceOf[UTF8String].toString))
   override protected def withNewChildInternal(c: Expression): LshBands = copy(c)
   override def prettyName: String = "graft_lsh_bands"
 }
@@ -339,6 +341,76 @@ case class SimHashExpr(child: Expression) extends StringKernelExpression {
     Dedup.simHash(v.asInstanceOf[UTF8String].toString)
   override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(c)
   override def prettyName: String = "graft_simhash"
+}
+
+/** `graft_lsh_project(emb)` — 16-hyperplane signed-random-projection LSH
+  * signature (BIGINT, low 16 bits). Hyperplane weights are small integers
+  * derived from (bit, dim) by fixed mixing arithmetic, so the exact same
+  * signature is computable in plain SQL (the DuckDB oracle mirrors it).
+  * Native sequential double math — the interpreted
+  * `aggregate(zip_with(...))` HOF form costs ~10µs/row; this is ~100ns.
+  * ANN use: candidates = rows whose signature is within a small hamming
+  * radius of the query's (multi-probe); rank candidates by exact cosine. */
+case class LshProject(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData].toDoubleArray()
+    var sig = 0L
+    var b = 1
+    while (b <= 16) {
+      var s = 0.0
+      var i = 1
+      while (i <= x.length) {
+        // weight in [-4, 4]; 1-based (b, i) to match the SQL mirror
+        s += x(i - 1) * ((2654435761L * i + 40503L * b) % 9 - 4).toDouble
+        i += 1
+      }
+      if (s > 0) sig |= (1L << (b - 1))
+      b += 1
+    }
+    sig
+  }
+  override protected def withNewChildInternal(c: Expression): LshProject = copy(c)
+  override def prettyName: String = "graft_lsh_project"
+}
+
+/** `graft_ivf_assign(emb, centroids)` — IVF coarse-quantizer assignment:
+  * index (BIGINT) of the centroid with max cosine similarity (ties → lowest
+  * index). Centroids arrive as a broadcast literal ARRAY<ARRAY<DOUBLE>> —
+  * the coarse codebook is tiny by construction, so assignment is a pure
+  * map: no shuffle, no window, no per-row join. */
+case class IvfAssign(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)))
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  private def cosine(x: Array[Double], y: Array[Double]): Double = {
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) { dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toDoubleArray()
+    val cents = b.asInstanceOf[ArrayData]
+    var best = 0L
+    var bestSim = Double.NegativeInfinity
+    var i = 0
+    while (i < cents.numElements()) {
+      val sim = cosine(x, cents.getArray(i).toDoubleArray())
+      if (sim > bestSim) { bestSim = sim; best = i.toLong }
+      i += 1
+    }
+    best
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IvfAssign =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_ivf_assign"
 }
 
 /** `graft_fingerprint(text)` — rolling-hash document fingerprint (BIGINT). */

@@ -30,7 +30,9 @@ object GraftFunctions {
     "graft_minhash" -> { es => MinHashSig(es.head) },
     "graft_lsh_bands" -> { es => LshBands(es.head) },
     "graft_simhash" -> { es => SimHashExpr(es.head) },
-    "graft_fingerprint" -> { es => FingerprintExpr(es.head) })
+    "graft_fingerprint" -> { es => FingerprintExpr(es.head) },
+    "graft_lsh_project" -> { es => LshProject(es.head) },
+    "graft_ivf_assign" -> { es => IvfAssign(es(0), es(1)) })
 
   /** Register on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =
@@ -56,6 +58,9 @@ object GraftFunctions {
   def lsh_bands(c: Column): Column = Shim.column(LshBands(Shim.expression(c)))
   def simhash(c: Column): Column = Shim.column(SimHashExpr(Shim.expression(c)))
   def fingerprint(c: Column): Column = Shim.column(FingerprintExpr(Shim.expression(c)))
+  def lsh_project(c: Column): Column = Shim.column(LshProject(Shim.expression(c)))
+  def ivf_assign(emb: Column, cents: Column): Column =
+    Shim.column(IvfAssign(Shim.expression(emb), Shim.expression(cents)))
 }
 
 /** `SparkSessionExtensions` hook: build sessions with

@@ -102,4 +102,12 @@ class QualityModelSpec extends AnyFunSuite {
     assert(Dedup.fingerprint(a) == Dedup.fingerprint(a))
     assert(Dedup.fingerprint(a) != Dedup.fingerprint(cFar))
   }
+
+  test("dedup: empty/whitespace docs emit no LSH bands (skew guard)") {
+    // Without the guard every empty page shares the all-MaxValue signature
+    // and lands in ONE quadratic band bucket — a blowup on real web data.
+    assert(Dedup.lshBandKeysGuarded("").isEmpty)
+    assert(Dedup.lshBandKeysGuarded("   \n\t  ").isEmpty)
+    assert(Dedup.lshBandKeysGuarded("real words present here").nonEmpty)
+  }
 }

@@ -34,6 +34,23 @@ class OpsSpec extends AnyFunSuite {
     expected.foreach { p => assert(pairs.contains(p), s"missing pair $p") }
   }
 
+  test("dedup_minhash_pairs: 1000 empty docs do not form a quadratic bucket") {
+    import spark.implicits._
+    // 1020 docs: all empty except the query's own planted slots
+    // (doc_id % 25 == 0, text substituted by nearDupSql regardless of base)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    (0L until 1020L).map(id => (id, "", "en", "synthetic", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = SparkEntry.queries("dedup_minhash_pairs")(spark, tmp).collect()
+    // every emitted pair is planted; no empty-empty pair survives
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(0) % 25 == 0 && r.getLong(1) % 25 == 0,
+        s"empty doc leaked into pair ${r.getLong(0)},${r.getLong(1)}")
+    }
+  }
+
   test("dedup_embedding_pairs finds exactly the 20 planted twins") {
     val rows = SparkEntry.queries("dedup_embedding_pairs")(spark, dir).collect()
     assert(rows.length == 20)
@@ -70,9 +87,26 @@ class OpsSpec extends AnyFunSuite {
     a.take(50).foreach { r =>
       assert(r.getAs[Long]("n_bytes") > 0)
       val d = r.getAs[Int]("duration_ms")
-      val frames = r.getSeq[Int](r.fieldIndex("frame_offsets_ms")).toList
-      assert(frames.nonEmpty && frames.forall(_ < d))
-      assert(frames == graft.ops.Multimodal.frameSample(d, 5000).toList)
+      // the query output flattens frames to scalars (driver-compare-safe)
+      val n = r.getAs[Long]("n_frames")
+      val first = r.getAs[Long]("first_offset_ms")
+      val expect = graft.ops.Multimodal.frameSample(d, 5000).toList
+      assert(n == expect.length && n > 0)
+      assert(first == expect.head)
+    }
+    // the full offsets array stays on the Dataset API
+    locally {
+      import spark.implicits._
+      val blobs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
+        .as[graft.ops.MediaBlob]
+      graft.ops.Multimodal.extractFeatures(blobs).collect().take(50).foreach {
+        f =>
+          assert(f.frame_offsets_ms.nonEmpty &&
+            f.frame_offsets_ms.forall(_ < f.duration_ms))
+          assert(f.frame_offsets_ms.toList ==
+            graft.ops.Multimodal.frameSample(f.duration_ms, 5000).toList)
+      }
     }
     // batch decoder really sees batches (not single rows); counter lives
     // in a JVM-singleton because the closure-serialized decoder is a copy

@@ -50,14 +50,17 @@ def main(sf_dir: str, out_dir: str) -> int:
         bad = None
         for c in expect.columns:
             e, g = expect[c], got[c]
-            if e.dtype.kind == "f" or g.dtype.kind == "f":
-                import numpy as np
-                ef = e.astype(float).to_numpy()
-                gf = g.astype(float).to_numpy()
-                ok = np.allclose(ef, gf, rtol=1e-9, atol=1e-12,
-                                 equal_nan=True)
-            else:
-                ok = e.astype(str).tolist() == g.astype(str).tolist()
+            # STRICT mode (matches the driver's exact value hash): dtypes
+            # must agree and values must render identically — DuckDB's
+            # pandas bridge turning HUGEINT/DECIMAL sums into float64 is a
+            # real driver failure, not noise (round-1 lesson: the old
+            # float-tolerant compare reported green on 7 hash-fails).
+            if e.dtype != g.dtype:
+                print(f"  dtype drift {name}.{c}: "
+                      f"oracle={e.dtype} spark={g.dtype}")
+                bad = c
+                break
+            ok = e.astype(str).tolist() == g.astype(str).tolist()
             if not ok:
                 bad = c
                 break
