@@ -243,10 +243,13 @@ object Heuristics {
 
     def add(k: Long, len: Int): Unit = {
       if (size * 4 >= cap * 3) grow()
+      // clamp: a gram of pathologically long words must not overflow the
+      // 20-bit char-length field into the count bits
+      val lenClamped = math.min(len, 0xFFFFF).toLong
       var i = (NGramLM.combine(k, 0x27d4eb2f165667c5L) & (cap - 1)).toInt
       while (used(i) && keys(i) != k) i = (i + 1) & (cap - 1)
       if (!used(i)) {
-        used(i) = true; keys(i) = k; vals(i) = (1L << 20) | len.toLong
+        used(i) = true; keys(i) = k; vals(i) = (1L << 20) | lenClamped
         size += 1
       } else vals(i) += (1L << 20)
     }

@@ -13,6 +13,14 @@ object HtmlText {
   def extract(html: String): String = {
     val n = html.length
     val sb = new java.lang.StringBuilder(n / 2)
+    // lowercased ONCE: searching for </script|</style from inside the loop
+    // on a per-tag lowercase of the whole document is O(n^2) on pages with
+    // many script tags — the same pathology class as the regex-scan trap
+    var lowerAll: String = null
+    def lower: String = {
+      if (lowerAll == null) lowerAll = html.toLowerCase(java.util.Locale.ROOT)
+      lowerAll
+    }
     var i = 0
     while (i < n) {
       val c = html.charAt(i)
@@ -23,8 +31,7 @@ object HtmlText {
           val tag = html.substring(i + 1, close).trim.toLowerCase(java.util.Locale.ROOT)
           val name = tag.takeWhile(ch => ch.isLetter)
           if (name == "script" || name == "style") {
-            val end = html.toLowerCase(java.util.Locale.ROOT)
-              .indexOf(s"</$name", close)
+            val end = lower.indexOf(s"</$name", close)
             i = if (end < 0) n else {
               val e2 = html.indexOf('>', end)
               if (e2 < 0) n else e2 + 1

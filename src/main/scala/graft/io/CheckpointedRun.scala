@@ -48,6 +48,15 @@ object CheckpointedRun {
     * partitions by `keyCol`; completed partitions are skipped on resume.
     * `failAfter` (test hook) aborts after that many fresh partitions —
     * the "killed run" of the resume test (SURVEY §5.4.6).
+    *
+    * Scan discipline: the input is bucketed ONCE into a staged
+    * Hive-partitioned copy (`_staged/run=<id>/_bucket=<k>`), so a fresh
+    * run reads the source exactly once; each logical partition then reads
+    * only its own bucket directory (partition pruning — `.explain` shows a
+    * single-directory scan). The previous formulation filtered the raw
+    * source per partition = P full scans, a non-starter at 100 TB.
+    * Resume reuses the staged copy (it is keyed by run id and committed
+    * via Spark's _SUCCESS marker before any partition starts).
     */
   def run(spark: SparkSession, input: DataFrame, keyCol: String,
           transform: DataFrame => DataFrame, root: String, runId: String,
@@ -55,6 +64,16 @@ object CheckpointedRun {
           failAfter: Int = Int.MaxValue): Seq[PartitionResult] = {
     Files.createDirectories(progressDir(root, runId))
     val done = completedPartitions(root, runId)
+
+    val stagedPath = Paths.get(root, "_staged", s"run=$runId").toString
+    if (!Files.exists(Paths.get(stagedPath, "_SUCCESS"))) {
+      input
+        .withColumn("_bucket",
+          pmod(xxhash64(col(keyCol)), lit(numPartitions)))
+        .write.mode("overwrite").partitionBy("_bucket").parquet(stagedPath)
+    }
+    val staged = spark.read.parquet(stagedPath)
+
     var fresh = 0
     (0 until numPartitions).map { k =>
       if (done.contains(k)) PartitionResult(k, -1, skipped = true)
@@ -64,8 +83,8 @@ object CheckpointedRun {
         fresh += 1
         val st0 = graft.core.StageTimers.snapshot()
         val t0 = System.nanoTime()
-        val part = input.filter(
-          pmod(xxhash64(col(keyCol)), lit(numPartitions)) === k)
+        // filter on the Hive partition column prunes to one directory
+        val part = staged.filter(col("_bucket") === k).drop("_bucket")
         val out = transform(part)
         val outPath = Paths.get(root, s"run=$runId", s"partition=$k").toString
         out.write.mode("overwrite").parquet(outPath)

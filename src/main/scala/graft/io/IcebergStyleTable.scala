@@ -5,7 +5,10 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Iceberg-style table layout without the Iceberg runtime jar
   * (SURVEY §7.4 — no Iceberg artifact exists in /opt/spark/jars or the
@@ -16,17 +19,27 @@ import org.apache.spark.sql.functions._
   *
   * Layout:
   * {{{
-  * <root>/data/<p1>=<v>/<p2>=<v>/part-*.parquet
-  * <root>/metadata/snap-<n>.json        # files + row counts of snapshot n
-  * <root>/metadata/v<n>.metadata.json   # schema, partition spec, snapshot
-  * <root>/metadata/version-hint.text    # current version (atomic rename)
+  * <root>/data/g<n>/<p1>=<v>/<p2>=<v>/part-*.parquet   # generation n files
+  * <root>/metadata/snap-<n>.json          # commit metadata of snapshot n
+  * <root>/metadata/manifest-<n>.text      # COMPLETE live file list of n
+  * <root>/metadata/v<n>.metadata.json     # schema, partition spec
+  * <root>/metadata/version-hint.text      # current version (atomic rename)
   * }}}
   *
   * Commit protocol (O4/S6 analog — the reference's single-transaction
-  * SQLite commit log, backend/db.py:6-21): data files are written first
-  * via Spark's job commit; the snapshot JSON is written next; the
-  * version-hint rename is last, so readers either see the previous
-  * complete snapshot or the new complete snapshot, never a partial one.
+  * SQLite commit log, backend/db.py:6-21): every commit writes its data
+  * files into a fresh generation directory that no current snapshot
+  * references, then writes the manifest + snapshot JSON, and flips the
+  * version hint LAST — readers resolve their file list from the manifest
+  * of the hinted version (never from directory listing), so they see
+  * either the previous complete snapshot or the new complete snapshot,
+  * never a partial one. Compaction follows the same path: new generation,
+  * new manifest referencing only it, hint flip, then retirement of
+  * now-unreferenced generations (single-snapshot retention; a time-travel
+  * deployment would keep generations for every retained snapshot).
+  *
+  * Row counts come from `Dataset.observe` on the write itself — no
+  * second scan of just-written data per commit.
   */
 object IcebergStyleTable {
 
@@ -34,6 +47,7 @@ object IcebergStyleTable {
 
   private def metaDir(root: String): Path = Paths.get(root, "metadata")
   private def dataDir(root: String): Path = Paths.get(root, "data")
+  private def genName(version: Int): String = s"g$version"
 
   def currentVersion(root: String): Int = {
     val hint = metaDir(root).resolve("version-hint.text")
@@ -42,17 +56,72 @@ object IcebergStyleTable {
     else 0
   }
 
-  private def listDataFiles(root: String): Set[String] = {
-    val d = dataDir(root)
-    if (!Files.exists(d)) Set.empty
-    else Files.walk(d).iterator().asScala
+  /** Live data files (relative to data/) of snapshot `version`. */
+  def manifest(root: String, version: Int): Seq[String] = {
+    val p = metaDir(root).resolve(s"manifest-$version.text")
+    if (version <= 0 || !Files.exists(p)) Seq.empty
+    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty)
+  }
+
+  private def listGenFiles(root: String, version: Int): Seq[String] = {
+    val g = dataDir(root).resolve(genName(version))
+    if (!Files.exists(g)) Seq.empty
+    else Files.walk(g).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
       .map(p => dataDir(root).relativize(p).toString)
-      .toSet
+      .toSeq.sorted
   }
 
   private def q(s: String): String = "\"" + s.replace("\\", "\\\\")
     .replace("\"", "\\\"") + "\""
+
+  /** Write `df` with an observed row count (one scan, no re-read). */
+  private def writeCounted(df: DataFrame, version: Int,
+                           partitionCols: Seq[String], dest: String): Long = {
+    val spark = df.sparkSession
+    val obsName = s"graft_commit_${version}_${System.nanoTime()}"
+    @volatile var rows = -1L
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.get(obsName).foreach(r => rows = r.getLong(0))
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      df.observe(obsName, count(lit(1)).as("rows"))
+        .write.mode("overwrite")
+        .partitionBy(partitionCols: _*)
+        .parquet(dest)
+      Shim.awaitListenerBus(spark)
+    } finally spark.listenerManager.unregister(listener)
+    // safety net (observe delivery is asynchronous by contract): fall back
+    // to a footer-level count of the new generation only
+    if (rows < 0) rows = spark.read.parquet(dest).count()
+    rows
+  }
+
+  private def commitMetadata(root: String, version: Int, files: Seq[String],
+                             added: Seq[String], rowCount: Long,
+                             partitionCols: Seq[String],
+                             extra: String): Unit = {
+    Files.write(metaDir(root).resolve(s"manifest-$version.text"),
+      files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val snapJson =
+      s"""{"version":$version,$extra"added_files":[${added.map(q).mkString(",")}],
+         |"added_rows":$rowCount,
+         |"partition_spec":[${partitionCols.map(q).mkString(",")}]}"""
+        .stripMargin.replace("\n", "")
+    Files.write(metaDir(root).resolve(s"snap-$version.json"),
+      snapJson.getBytes(StandardCharsets.UTF_8))
+    // atomic last step: readers flip to the new snapshot only here
+    val tmp = metaDir(root).resolve("version-hint.tmp")
+    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, metaDir(root).resolve("version-hint.text"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Append `df` as a new snapshot, salting the shuffle on skewed keys.
     *
@@ -66,30 +135,17 @@ object IcebergStyleTable {
              saltCol: String, saltBuckets: Int = 16,
              shufflePartitions: Int = 32): Snapshot = {
     Files.createDirectories(metaDir(root))
-    val before = listDataFiles(root)
+    val version = currentVersion(root) + 1
 
     val salted = df.repartition(shufflePartitions,
       (partitionCols.map(col) :+
         pmod(xxhash64(col(saltCol)), lit(saltBuckets))): _*)
-    salted.write.mode("append")
-      .partitionBy(partitionCols: _*)
-      .parquet(dataDir(root).toString)
+    val dest = dataDir(root).resolve(genName(version)).toString
+    val rowCount = writeCounted(salted, version, partitionCols, dest)
 
-    val after = listDataFiles(root)
-    val added = (after -- before).toSeq.sorted
-    val rowCount = df.sparkSession.read
-      .parquet(added.map(f => dataDir(root).resolve(f).toString): _*)
-      .count()
-
-    val version = currentVersion(root) + 1
-    val snapJson =
-      s"""{"version":$version,"added_files":[${added.map(q).mkString(",")}],
-         |"added_rows":$rowCount,
-         |"partition_spec":[${partitionCols.map(q).mkString(",")}],
-         |"salt":{"column":${q(saltCol)},"buckets":$saltBuckets}}"""
-        .stripMargin.replace("\n", "")
-    Files.write(metaDir(root).resolve(s"snap-$version.json"),
-      snapJson.getBytes(StandardCharsets.UTF_8))
+    val added = listGenFiles(root, version)
+    commitMetadata(root, version, manifest(root, version - 1) ++ added,
+      added, rowCount, partitionCols, extra = "")
 
     val schemaJson = df.schema.json
     val metaJson =
@@ -99,73 +155,55 @@ object IcebergStyleTable {
     Files.write(metaDir(root).resolve(s"v$version.metadata.json"),
       metaJson.getBytes(StandardCharsets.UTF_8))
 
-    // atomic last step: readers flip to the new snapshot only here
-    val tmp = metaDir(root).resolve("version-hint.tmp")
-    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, metaDir(root).resolve("version-hint.text"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-
     Snapshot(version, added, rowCount)
   }
 
-  /** Read the table (partition-pruning capable: Hive layout + partition
-    * columns are recovered by Spark's scan; filters on partition cols
-    * prune directories for free). */
-  def read(spark: SparkSession, root: String): DataFrame =
-    spark.read.option("basePath", dataDir(root).toString)
-      .parquet(dataDir(root).toString)
+  /** Read the current snapshot: file list resolved from its manifest
+    * (NEVER from directory listing — in-flight commits are invisible).
+    * Partition-pruning capable: each generation is scanned with its own
+    * basePath, so Hive partition columns are recovered and filters on
+    * them prune directories for free. */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val v = currentVersion(root)
+    val files = manifest(root, v)
+    require(files.nonEmpty, s"no committed snapshot at $root (version=$v)")
+    files.groupBy(f => f.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+      .map { case (gen, fs) =>
+        spark.read
+          .option("basePath", dataDir(root).resolve(gen).toString)
+          .parquet(fs.map(f => dataDir(root).resolve(f).toString): _*)
+      }.reduce(_ unionByName _)
+  }
 
-  /** Rewrite the table's data files into at most `filesPerPartitionDir`
-    * per partition directory and commit the result as a new snapshot —
-    * the Iceberg `rewrite_data_files` analog. At fine partition
-    * granularity (date x host_bucket) small scales produce tiny files;
-    * compaction runs out-of-band and readers flip atomically via the
-    * version hint (old files are left for time-travel; a GC pass would
-    * remove files not referenced by retained snapshots).
-    */
+  /** Rewrite the table's live files into one compacted generation and
+    * commit it as a new snapshot — the Iceberg `rewrite_data_files`
+    * analog. At fine partition granularity (date x host_bucket) small
+    * scales produce tiny files; compaction runs out-of-band, readers flip
+    * atomically via the version hint, and generations no longer referenced
+    * by the current snapshot are retired AFTER the flip (single-snapshot
+    * retention; keep them to retain time-travel). */
   def compact(spark: SparkSession, root: String, partitionCols: Seq[String],
               filesPerPartitionDir: Int = 1): Snapshot = {
     val current = read(spark, root)
-    val tmp = Paths.get(root, "data_compact_tmp").toString
-    current
+    val version = currentVersion(root) + 1
+    val liveGens = manifest(root, version - 1)
+      .map(f => f.takeWhile(_ != '/')).distinct
+
+    val compacted = current
       .repartition(partitionCols.map(col): _*)
       .sortWithinPartitions(partitionCols.map(col): _*)
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", 0)
-      .partitionBy(partitionCols: _*)
-      .parquet(tmp)
+    val dest = dataDir(root).resolve(genName(version)).toString
+    val rowCount = writeCounted(compacted, version, partitionCols, dest)
 
-    // swap: move compacted files into data/ as a new snapshot generation
-    val dataPath = dataDir(root)
-    val old = listDataFiles(root)
-    val tmpFiles = Files.walk(Paths.get(tmp)).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-      .toSeq
-    tmpFiles.foreach { p =>
-      val rel = Paths.get(tmp).relativize(p)
-      val dest = dataPath.resolve(rel.toString)
-      Files.createDirectories(dest.getParent)
-      Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
-    }
-    // retire the pre-compaction files (single-snapshot retention here)
-    old.foreach(f => Files.deleteIfExists(dataPath.resolve(f)))
-    deleteRecursively(Paths.get(tmp))
+    val added = listGenFiles(root, version)
+    commitMetadata(root, version, files = added, added = added,
+      rowCount = rowCount, partitionCols = partitionCols,
+      extra = "\"compaction\":true,")
 
-    val added = (listDataFiles(root) -- Set.empty).toSeq.sorted
-    val rowCount = read(spark, root).count()
-    val version = currentVersion(root) + 1
-    val snapJson =
-      s"""{"version":$version,"compaction":true,
-         |"added_files":[${added.map(q).mkString(",")}],
-         |"added_rows":$rowCount,
-         |"partition_spec":[${partitionCols.map(q).mkString(",")}]}"""
-        .stripMargin.replace("\n", "")
-    Files.write(metaDir(root).resolve(s"snap-$version.json"),
-      snapJson.getBytes(StandardCharsets.UTF_8))
-    val tmpHint = metaDir(root).resolve("version-hint.tmp")
-    Files.write(tmpHint, version.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmpHint, metaDir(root).resolve("version-hint.text"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // retire unreferenced generations (readers of older snapshots are not
+    // supported under single-snapshot retention — documented above)
+    liveGens.foreach(g => deleteRecursively(dataDir(root).resolve(g)))
+
     Snapshot(version, added, rowCount)
   }
 

@@ -236,7 +236,10 @@ object PagesSynth {
           if (htmlOnly) HtmlText.extract(wrapHtml(text, new Random(mix(id ^ 7))))
           else text
         val rules = Heuristics.evaluate(evalText, lang)
-        val (pred, conf) = LangId.predict(evalText)
+        // langid must see the same whitespace-normalized full_text the
+        // pipeline scores (DocProcessor predicts on the rebuilt text;
+        // n-grams spanning raw line breaks hash differently)
+        val (pred, conf) = LangId.predict(Tokenizer.tokenize(evalText)._1)
         val ppl = NGramLM.perplexity(evalText, pred)
         ok = Heuristics.keep(rules) && pred == lang && conf >= LangConfMin &&
           ppl <= PerplexityMax * 0.8

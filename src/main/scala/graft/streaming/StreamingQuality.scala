@@ -16,12 +16,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingQuality {
 
-  final case class SeenState(firstSeenFingerprint: Long)
+  final case class SeenState(seenFingerprints: Seq[Long])
 
-  /** Emits only rows whose (url, content fingerprint) was not seen in any
-    * earlier micro-batch. State: one fingerprint per URL group; TTL is the
-    * caller's checkpoint retention (no timeout here — URLs are the keys a
-    * production run would expire with `GroupStateTimeout`).
+  /** Emits exactly the rows whose (url, content fingerprint) was not seen
+    * before — neither in any earlier micro-batch nor earlier in the same
+    * batch. State: the SET of fingerprints seen per URL (so content
+    * alternating A→B→A is emitted twice, not three times, and two distinct
+    * fresh fingerprints in one batch both pass). TTL is the caller's
+    * checkpoint retention (a production run bounds the set and expires
+    * keys with `GroupStateTimeout`).
     */
   def dedupFirstSeen(pages: DataFrame): Dataset[(String, String)] = {
     implicit val strEnc = Encoders.STRING
@@ -38,11 +41,15 @@ object StreamingQuality {
       OutputMode.Append, GroupStateTimeout.NoTimeout) {
       (url: String, rows: Iterator[(String, String, Long)],
        state: GroupState[SeenState]) =>
-        val seen = state.getOption.map(_.firstSeenFingerprint)
-        val fresh = rows.filter { case (_, _, fp) => !seen.contains(fp) }
-          .toSeq.headOption // first occurrence in this batch wins
-        fresh.foreach { case (_, _, fp) => state.update(SeenState(fp)) }
-        fresh.map { case (u, t, _) => (u, t) }.iterator
+        val seen = scala.collection.mutable.LinkedHashSet[Long](
+          state.getOption.map(_.seenFingerprints).getOrElse(Seq.empty): _*)
+        val out = Vector.newBuilder[(String, String)]
+        rows.foreach { case (u, t, fp) =>
+          if (seen.add(fp)) out += ((u, t)) // first occurrence ever wins
+        }
+        val fresh = out.result()
+        if (fresh.nonEmpty) state.update(SeenState(seen.toSeq))
+        fresh.iterator
     }
   }
 }

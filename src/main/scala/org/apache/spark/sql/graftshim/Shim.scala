@@ -19,6 +19,13 @@ object Shim {
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Drain the listener bus so `QueryExecutionListener.onSuccess` (which
+    * delivers `Dataset.observe` metrics asynchronously) has fired before
+    * the caller reads them. `listenerBus` is `private[spark]`; this shim
+    * package sits under `org.apache.spark` for exactly this bridge. */
+  def awaitListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Register a temp function builder on an already-built session (the
     * `withExtensions` path in [[graft.expr.GraftExtensions]] is preferred;
     * this covers sessions we didn't construct). */

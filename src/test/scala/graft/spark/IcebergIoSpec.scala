@@ -103,6 +103,16 @@ class IcebergIoSpec extends AnyFunSuite {
     assert(metrics.count() == 8)
     assert(metrics.columns.contains("stages"))
     assert(metrics.agg(sum("rows")).head().getLong(0) == 400L)
+
+    // scan discipline: the source was bucketed ONCE into a staged hive
+    // copy; per-partition reads prune to a single _bucket directory
+    val staged = Paths.get(root, "_staged", s"run=$runId")
+    assert(Files.exists(staged.resolve("_SUCCESS")))
+    assert(Files.exists(staged.resolve("_bucket=0")))
+    val prunedPlan = spark.read.parquet(staged.toString)
+      .filter(col("_bucket") === 3).queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("PartitionFilters") &&
+      prunedPlan.contains("_bucket"), prunedPlan.take(1500))
   }
 
   test("compaction: fewer files, same rows, atomic snapshot flip") {

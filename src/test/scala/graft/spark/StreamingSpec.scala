@@ -67,6 +67,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select("url").distinct().count() == 75)
   }
 
+  test("stateful dedup remembers ALL past fingerprints (A->B->A) and " +
+      "emits multiple fresh fingerprints within one batch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_dedup_ab").toString
+    def write(rows: Seq[(String, String)], mode: String): Unit =
+      rows.toDF("url", "text").write.mode(mode).parquet(s"$dir/in")
+    // batch 1 carries TWO distinct fingerprints for u1 — both must emit
+    write(Seq(("u1", "A"), ("u1", "B"), ("u2", "X")), "overwrite")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+      val q = graft.streaming.StreamingQuality.dedupFirstSeen(stream)
+        .toDF("url", "text")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val out1 = spark.read.parquet(s"$dir/out").as[(String, String)]
+      .collect().toSet
+    assert(out1 == Set(("u1", "A"), ("u1", "B"), ("u2", "X")), out1)
+
+    // batch 2: u1 reverts to A (seen two batches ago) — must NOT re-emit;
+    // u1 also gets a genuinely new C — must emit
+    write(Seq(("u1", "A"), ("u1", "C")), "append")
+    runOnce()
+    val out2 = spark.read.parquet(s"$dir/out").as[(String, String)]
+      .collect().toSet
+    assert(out2 == out1 + (("u1", "C")), out2)
+  }
+
   test("watermarked tumbling-window aggregation over events") {
     val dir = Files.createTempDirectory("stream_events").toString
     // driver parquet carries TIMESTAMP_NTZ; watermarks need TIMESTAMP (LTZ)
