@@ -1,7 +1,6 @@
 package graft.core
 
 import java.util.Locale
-import scala.collection.mutable
 
 /** Per-rule lineage record (SURVEY §1.4 output schema): which rule, whether
   * it fired (fired == drop signal), the measured value, the threshold. */
@@ -16,6 +15,14 @@ final case class RuleResult(rule: String, fired: Boolean,
   * array — lineage is first-class data, the graft analog of the reference's
   * `detected_as` token lineage (backend/pdf/PIIDetector.py:184-185,
   * SURVEY §2.7 O5). `keep` = no rule fired.
+  *
+  * Hot-path layout (this stage is ~half the fused pipeline's CPU): ONE
+  * char pass over the text collects symbols, sentences, lorem/curly flags,
+  * line shape, and line/paragraph duplicate mass (hash-identity, no
+  * substring allocation); the 9 n-gram passes share a ThreadLocal
+  * open-addressed counter cleared by generation stamps (zero per-doc
+  * allocation); the stopword rule probes a per-language index map instead
+  * of materializing the document's word set.
   */
 object Heuristics {
 
@@ -44,50 +51,197 @@ object Heuristics {
   final val PerplexityMax = 1500.0
   final val LangConfMin = 0.2
 
+  // ------------------------------------------------------------------
+  // Shared single-pass text statistics
+  // ------------------------------------------------------------------
+
+  /** Everything the rules need from the raw text, one scan's worth. */
+  final class TextStats {
+    var symbolCount = 0
+    var sentences = 0
+    var hasLorem = false
+    var hasCurly = false
+    var nLines = 0
+    var bulletLines = 0
+    var ellipsisLines = 0
+    var dupLines = 0
+    var dupLineChars = 0L
+    var totalLineChars = 0L
+    var nParas = 0
+    var dupParas = 0
+    var dupParaChars = 0L
+    var totalParaChars = 0L
+  }
+
+  /** One pass over chars (symbols / sentences / lorem / curly) + one pass
+    * over '\n' line segments + one pass over "\n\n" paragraph segments.
+    * Line/paragraph identity is a 64-bit FNV over the trimmed region — no
+    * substring or set-of-strings allocation. Semantics match the previous
+    * split/trim/HashSet formulation exactly (modulo 64-bit collisions). */
+  def scanText(text: String): TextStats = {
+    val st = new TextStats
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '#' || c == '…') st.symbolCount += 1
+      if (c == '.') {
+        // "..." counts as one ellipsis symbol but three sentence marks
+        // (the previous code used separate loops with and without skip)
+        if (i + 2 < n && text.charAt(i + 1) == '.' && text.charAt(i + 2) == '.') {
+          st.symbolCount += 1
+          st.sentences += 3
+          i += 2
+        } else st.sentences += 1
+      } else if (c == '!' || c == '?' || c == '。') st.sentences += 1
+      else if (c == '{') st.hasCurly = true
+      else if ((c == 'l' || c == 'L') && !st.hasLorem &&
+          text.regionMatches(true, i, "lorem ipsum", 0, 11))
+        st.hasLorem = true
+      i += 1
+    }
+
+    val s = scratch.get()
+
+    // line segments between '\n'
+    s.newTable(math.max(16, n / 16))
+    var segStart = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == '\n') {
+        statLine(text, segStart, i, st, s)
+        segStart = i + 1
+      }
+      i += 1
+    }
+
+    // paragraph segments between literal "\n\n" (left-to-right,
+    // non-overlapping — same segmentation as String.split("\n\n"))
+    s.newTable(math.max(16, n / 64))
+    var from = 0
+    var more = true
+    while (more) {
+      val idx = text.indexOf("\n\n", from)
+      val end = if (idx < 0) n else idx
+      statPara(text, from, end, st, s)
+      if (idx < 0) more = false else from = idx + 2
+    }
+    st
+  }
+
+  private def trimStart(text: String, a: Int, b: Int): Int = {
+    var s = a
+    while (s < b && text.charAt(s) <= ' ') s += 1
+    s
+  }
+  private def trimEnd(text: String, a: Int, b: Int): Int = {
+    var e = b
+    while (e > a && text.charAt(e - 1) <= ' ') e -= 1
+    e
+  }
+  private def fnvRegion(text: String, a: Int, b: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = a
+    while (i < b) { h = (h ^ text.charAt(i)) * 0x100000001b3L; i += 1 }
+    h
+  }
+
+  private def statLine(text: String, a: Int, b: Int, st: TextStats,
+                       s: Scratch): Unit = {
+    val ts = trimStart(text, a, b)
+    val te = trimEnd(text, ts, b)
+    val len = te - ts
+    if (len > 0) {
+      st.nLines += 1
+      st.totalLineChars += len
+      val c0 = text.charAt(ts)
+      if (c0 == '•' || (len >= 2 && text.charAt(ts + 1) == ' ' &&
+          (c0 == '-' || c0 == '*'))) st.bulletLines += 1
+      if (text.charAt(te - 1) == '…' ||
+          (len >= 3 && text.charAt(te - 1) == '.' &&
+            text.charAt(te - 2) == '.' && text.charAt(te - 3) == '.'))
+        st.ellipsisLines += 1
+      if (!s.addSeen(fnvRegion(text, ts, te))) {
+        st.dupLines += 1
+        st.dupLineChars += len
+      }
+    }
+  }
+
+  private def statPara(text: String, a: Int, b: Int, st: TextStats,
+                       s: Scratch): Unit = {
+    val ts = trimStart(text, a, b)
+    val te = trimEnd(text, ts, b)
+    val len = te - ts
+    if (len > 0) {
+      st.nParas += 1
+      st.totalParaChars += len
+      if (!s.addSeen(fnvRegion(text, ts, te))) {
+        st.dupParas += 1
+        st.dupParaChars += len
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Rule builders
+  // ------------------------------------------------------------------
+
   /** Rules expressible with plain string/arithmetic ops — the
     * lang-independent subset is mirrored in the DuckDB oracle SQL
     * (SURVEY §5.4.4). The stopword rule is lang-aware: the Gopher list for
     * en, vocab-head function words otherwise (English stopwords would drop
     * every non-English page). */
-  def basicRules(text: String, lang: String = "en"): Vector[RuleResult] =
-    basicRulesWith(text, Tokenizer.words(text), lang)
+  def basicRules(text: String, lang: String = "en"): Vector[RuleResult] = {
+    val ws = Tokenizer.words(text)
+    basicRulesFrom(ws, ws.map(_.toLowerCase(Locale.ROOT)), lang,
+      scanText(text))
+  }
 
+  /** Back-compat form: tokenized words supplied, scan + lowercase done here. */
   def basicRulesWith(text: String, ws: IndexedSeq[String],
-                     lang: String): Vector[RuleResult] = {
+                     lang: String): Vector[RuleResult] =
+    basicRulesFrom(ws, ws.map(_.toLowerCase(Locale.ROOT)), lang,
+      scanText(text))
+
+  private def basicRulesFrom(ws: IndexedSeq[String],
+                             wsLower: IndexedSeq[String], lang: String,
+                             st: TextStats): Vector[RuleResult] = {
     val n = ws.length
-    val lower = text.toLowerCase(Locale.ROOT)
 
-    val meanWordLen =
-      if (n == 0) 0.0 else ws.iterator.map(_.length).sum.toDouble / n
-
-    var symbolCount = 0
+    var lenSum = 0L
+    var alphaWords = 0
     var i = 0
-    while (i < text.length) {
-      val c = text.charAt(i)
-      if (c == '#' || c == '…') symbolCount += 1
-      // "..." counts as one ellipsis symbol
-      if (c == '.' && i + 2 < text.length && text.charAt(i + 1) == '.' &&
-          text.charAt(i + 2) == '.') { symbolCount += 1; i += 2 }
+    while (i < n) {
+      val w = ws(i)
+      lenSum += w.length
+      var j = 0
+      var alpha = false
+      while (!alpha && j < w.length) {
+        if (Character.isLetter(w.charAt(j))) alpha = true
+        j += 1
+      }
+      if (alpha) alphaWords += 1
       i += 1
     }
-    val symbolRatio = if (n == 0) 0.0 else symbolCount.toDouble / n
-
-    val alphaWords = ws.count(w => w.exists(Character.isLetter))
+    val meanWordLen = if (n == 0) 0.0 else lenSum.toDouble / n
+    val symbolRatio = if (n == 0) 0.0 else st.symbolCount.toDouble / n
     val alphaRatio = if (n == 0) 0.0 else alphaWords.toDouble / n
 
-    val lowerWords = ws.iterator.map(_.toLowerCase(Locale.ROOT)).toSet
-    val stopCount = SeedCorpus.stopwordsFor(lang).count(lowerWords.contains)
-
-    val hasLorem = if (lower.contains("lorem ipsum")) 1.0 else 0.0
-    val hasCurly = if (text.indexOf('{') >= 0) 1.0 else 0.0
-
-    var sentences = 0
+    // distinct stopwords present: probe the per-language index map per
+    // word and mark — no document word set is materialized
+    val idx = stopIdxFor(lang)
+    val seen = new Array[Boolean](idx.size)
+    var stopCount = 0
     i = 0
-    while (i < text.length) {
-      val c = text.charAt(i)
-      if (c == '.' || c == '!' || c == '?' || c == '。') sentences += 1
+    while (i < n) {
+      val id = idx.getOrDefault(wsLower(i), -1)
+      if (id >= 0 && !seen(id)) { seen(id) = true; stopCount += 1 }
       i += 1
     }
+
+    val hasLorem = if (st.hasLorem) 1.0 else 0.0
+    val hasCurly = if (st.hasCurly) 1.0 else 0.0
 
     Vector(
       RuleResult("word_count_min", n < MinWords, n.toDouble, MinWords.toDouble),
@@ -104,19 +258,27 @@ object Heuristics {
         MinStopwords),
       RuleResult("lorem_ipsum", hasLorem > 0, hasLorem, 0.0),
       RuleResult("curly_brace", hasCurly > 0, hasCurly, 0.0),
-      RuleResult("min_sentence_count", sentences < MinSentences,
-        sentences.toDouble, MinSentences.toDouble))
+      RuleResult("min_sentence_count", st.sentences < MinSentences,
+        st.sentences.toDouble, MinSentences.toDouble))
   }
 
+  private val stopwordIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashMap[String, Integer]]()
+  private def stopIdxFor(lang: String): java.util.HashMap[String, Integer] =
+    stopwordIdxCache.computeIfAbsent(lang, l => {
+      val m = new java.util.HashMap[String, Integer]()
+      SeedCorpus.stopwordsFor(l).foreach(w => m.put(w, m.size))
+      m
+    })
+
   /** Line-shape rules (lines split on '\n'; blank lines excluded). */
-  def lineRules(text: String): Vector[RuleResult] = {
-    val lines = text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toVector
-    val n = lines.length
-    def ratio(p: String => Boolean): Double =
-      if (n == 0) 0.0 else lines.count(p).toDouble / n
-    val bullet = ratio(l => l.startsWith("•") || l.startsWith("- ") ||
-      l.startsWith("* "))
-    val ellipsis = ratio(l => l.endsWith("...") || l.endsWith("…"))
+  def lineRules(text: String): Vector[RuleResult] =
+    lineRulesFrom(scanText(text))
+
+  private def lineRulesFrom(st: TextStats): Vector[RuleResult] = {
+    val n = st.nLines
+    val bullet = if (n == 0) 0.0 else st.bulletLines.toDouble / n
+    val ellipsis = if (n == 0) 0.0 else st.ellipsisLines.toDouble / n
     Vector(
       RuleResult("bullet_line_ratio", bullet > MaxBulletLineRatio, bullet,
         MaxBulletLineRatio),
@@ -135,31 +297,24 @@ object Heuristics {
     *     count x chars / chars(full_text), capped at 1.0
     */
   def repetitionRules(text: String): Vector[RuleResult] =
-    repetitionRulesWith(text,
-      Tokenizer.words(text).map(_.toLowerCase(Locale.ROOT)))
+    repetitionRulesFrom(text,
+      Tokenizer.words(text).map(_.toLowerCase(Locale.ROOT)), scanText(text))
 
   def repetitionRulesWith(text: String,
-                          wordsLower: IndexedSeq[String]): Vector[RuleResult] = {
+                          wordsLower: IndexedSeq[String]): Vector[RuleResult] =
+    repetitionRulesFrom(text, wordsLower, scanText(text))
+
+  private def repetitionRulesFrom(text: String,
+                                  wordsLower: IndexedSeq[String],
+                                  st: TextStats): Vector[RuleResult] = {
     val out = Vector.newBuilder[RuleResult]
 
-    def dupStats(units: IndexedSeq[String]): (Double, Double) = {
-      if (units.isEmpty) return (0.0, 0.0)
-      val seen = mutable.HashSet[String]()
-      var dupCount = 0
-      var dupChars = 0L
-      var totalChars = 0L
-      units.foreach { u =>
-        totalChars += u.length
-        if (!seen.add(u)) { dupCount += 1; dupChars += u.length }
-      }
-      (dupCount.toDouble / units.length,
-        if (totalChars == 0) 0.0 else dupChars.toDouble / totalChars)
-    }
-
-    val lines = text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toIndexedSeq
-    val paras = text.split("\n\n").iterator.map(_.trim).filter(_.nonEmpty).toIndexedSeq
-    val (dupLineFrac, dupLineCharFrac) = dupStats(lines)
-    val (dupParaFrac, dupParaCharFrac) = dupStats(paras)
+    def frac(num: Long, den: Long): Double =
+      if (den == 0) 0.0 else num.toDouble / den
+    val dupLineFrac = frac(st.dupLines, st.nLines)
+    val dupLineCharFrac = frac(st.dupLineChars, st.totalLineChars)
+    val dupParaFrac = frac(st.dupParas, st.nParas)
+    val dupParaCharFrac = frac(st.dupParaChars, st.totalParaChars)
     out += RuleResult("dup_line_fraction", dupLineFrac > MaxDupLineFraction,
       dupLineFrac, MaxDupLineFraction)
     out += RuleResult("dup_para_fraction", dupParaFrac > MaxDupParaFraction,
@@ -173,25 +328,26 @@ object Heuristics {
 
     val ws = wordsLower
     val totalChars = math.max(1, text.length).toDouble
+    val s = scratch.get()
 
-    // hash + length of every word, computed once (hot path: 9 n-gram
-    // passes reuse these primitive arrays — no per-pass re-hashing)
+    // hash + length of every word, computed once (9 n-gram passes reuse
+    // these primitive arrays — no per-pass re-hashing); prefix sums let
+    // the sliding window read each word once per k
     val nW = ws.length
-    val wHash = new Array[Long](nW)
-    val wLen = new Array[Int](nW)
+    s.ensureWords(nW)
+    val wHash = s.wHash
+    val lenPrefix = s.lenPrefix
     var wi = 0
-    while (wi < nW) { wHash(wi) = NGramLM.hashWord(ws(wi)); wLen(wi) = ws(wi).length; wi += 1 }
-
-    // packed open-addressed Long -> (count:44 | charLen:20) counter
-    // prefix sums let the sliding window read each word once per k
-    val lenPrefix = new Array[Int](nW + 1)
-    wi = 0
-    while (wi < nW) { lenPrefix(wi + 1) = lenPrefix(wi) + wLen(wi); wi += 1 }
+    while (wi < nW) {
+      wHash(wi) = NGramLM.hashWord(ws(wi))
+      lenPrefix(wi + 1) = lenPrefix(wi) + ws(wi).length
+      wi += 1
+    }
 
     def ngramStats(k: Int): (Long, Long, Double) = {
       // returns (maxCount, maxCountLen, dupCharMass)
       if (nW < k) return (0L, 0L, 0.0)
-      val m = new PackedCounter(math.max(16, nW))
+      s.newTable(math.max(16, nW))
       // slideable polynomial rolling hash over the word-hash sequence:
       // h_i = sum wHash(i+j) * P^(k-1-j); O(1) per slide instead of O(k)
       val P = 0x100000001b3L
@@ -201,16 +357,16 @@ object Heuristics {
       var h = 0L
       var i = 0
       while (i < k) { h = h * P + wHash(i); i += 1 }
-      m.add(NGramLM.combine(h, k.toLong),
+      s.addCount(NGramLM.combine(h, k.toLong),
         lenPrefix(k) - lenPrefix(0) + (k - 1))
       i = k
       while (i < nW) {
         h = (h - wHash(i - k) * pK) * P + wHash(i)
-        m.add(NGramLM.combine(h, k.toLong),
+        s.addCount(NGramLM.combine(h, k.toLong),
           lenPrefix(i + 1) - lenPrefix(i + 1 - k) + (k - 1))
         i += 1
       }
-      m.stats()
+      s.countStats()
     }
 
     (2 to 4).foreach { k =>
@@ -230,70 +386,134 @@ object Heuristics {
     out.result()
   }
 
-  /** Open-addressed Long->packed(count,len) counter for n-gram stats.
-    * Value layout: count << 20 | charLen (charLen < 2^20 by construction:
-    * <= 10 words per gram). Deterministic tie-break for the top gram:
-    * (count, len, -key) — matches the previous HashMap maxBy ordering. */
-  private final class PackedCounter(expected: Int) {
-    private var cap = Integer.highestOneBit(math.max(16, expected) * 2)
-    private var keys = new Array[Long](cap)
-    private var vals = new Array[Long](cap)
-    private var used = new Array[Boolean](cap)
-    private var size = 0
+  // ------------------------------------------------------------------
+  // ThreadLocal scratch: one open-addressed Long table reused by every
+  // per-doc pass (line dups, para dups, 9 n-gram counters). Clearing is a
+  // generation stamp, not an array fill; growth is monotone per thread.
+  // Value layout for counts: count << 20 | charLen (charLen clamped to
+  // 2^20-1). Deterministic top-gram tie-break: (count, len, -key) —
+  // matches the original HashMap maxBy ordering.
+  // ------------------------------------------------------------------
+  private final class Scratch {
+    var cap = 2048
+    var keys = new Array[Long](cap)
+    var vals = new Array[Long](cap)
+    var gen = new Array[Int](cap)
+    var curGen = 0
+    var mask = cap - 1
+    // slots filled in the current generation — countStats() walks this
+    // log, not the table, so one huge doc cannot tax every later doc on
+    // the thread with a full-capacity scan
+    var touched = new Array[Int](2048)
+    var nTouched = 0
+    var wHash = new Array[Long](256)
+    var lenPrefix = new Array[Int](257)
 
-    def add(k: Long, len: Int): Unit = {
-      if (size * 4 >= cap * 3) grow()
-      // clamp: a gram of pathologically long words must not overflow the
-      // 20-bit char-length field into the count bits
-      val lenClamped = math.min(len, 0xFFFFF).toLong
-      var i = (NGramLM.combine(k, 0x27d4eb2f165667c5L) & (cap - 1)).toInt
-      while (used(i) && keys(i) != k) i = (i + 1) & (cap - 1)
-      if (!used(i)) {
-        used(i) = true; keys(i) = k; vals(i) = (1L << 20) | lenClamped
-        size += 1
-      } else vals(i) += (1L << 20)
+    def ensureWords(n: Int): Unit =
+      if (wHash.length < n) {
+        wHash = new Array[Long](Integer.highestOneBit(n) * 2)
+        lenPrefix = new Array[Int](wHash.length + 1)
+      }
+
+    private var sizeGen = 0
+
+    /** Fresh logical table with room for `entries` at <= 50% load (a hint
+      * only — the table grows with rehash if the hint was low). */
+    def newTable(entries: Int): Unit = {
+      val need = Integer.highestOneBit(math.max(8, entries)) * 4
+      if (need > cap) {
+        while (cap < need) cap <<= 1
+        keys = new Array[Long](cap)
+        vals = new Array[Long](cap)
+        gen = new Array[Int](cap)
+        mask = cap - 1
+      }
+      if (touched.length < entries + 8)
+        touched = new Array[Int](Integer.highestOneBit(entries + 8) * 2)
+      nTouched = 0
+      sizeGen = 0
+      curGen += 1
     }
 
-    private def grow(): Unit = {
-      val ok = keys; val ov = vals; val ou = used; val oc = cap
+    private def growRehash(): Unit = {
+      val ok = keys; val ov = vals; val og = gen; val oc = cap
       cap <<= 1
-      keys = new Array[Long](cap); vals = new Array[Long](cap)
-      used = new Array[Boolean](cap); size = 0
+      mask = cap - 1
+      keys = new Array[Long](cap)
+      vals = new Array[Long](cap)
+      gen = new Array[Int](cap)
+      if (touched.length < cap / 2 + 8) {
+        val nt = new Array[Int](cap / 2 + 8)
+        touched = nt
+      }
+      nTouched = 0
       var i = 0
       while (i < oc) {
-        if (ou(i)) {
-          val c = (ov(i) >>> 20).toInt
-          val l = (ov(i) & 0xFFFFF).toInt
-          var j = (NGramLM.combine(ok(i), 0x27d4eb2f165667c5L) & (cap - 1)).toInt
-          while (used(j)) j = (j + 1) & (cap - 1)
-          used(j) = true; keys(j) = ok(i); vals(j) = (c.toLong << 20) | l.toLong
-          size += 1
+        if (og(i) == curGen) {
+          var j = (NGramLM.combine(ok(i), 0x27d4eb2f165667c5L) & mask).toInt
+          while (gen(j) == curGen) j = (j + 1) & mask
+          gen(j) = curGen
+          keys(j) = ok(i)
+          vals(j) = ov(i)
+          touched(nTouched) = j
+          nTouched += 1
         }
         i += 1
       }
     }
 
+    private def slot(k: Long): Int = {
+      var i = (NGramLM.combine(k, 0x27d4eb2f165667c5L) & mask).toInt
+      while (gen(i) == curGen && keys(i) != k) i = (i + 1) & mask
+      i
+    }
+
+    /** true if k was NOT in the current-generation set (and adds it). */
+    def addSeen(k: Long): Boolean = {
+      if (sizeGen * 2 >= cap) growRehash()
+      val i = slot(k)
+      if (gen(i) != curGen) {
+        gen(i) = curGen; keys(i) = k; sizeGen += 1; true
+      } else false
+    }
+
+    def addCount(k: Long, len: Int): Unit = {
+      if (sizeGen * 2 >= cap) growRehash()
+      val i = slot(k)
+      if (gen(i) != curGen) {
+        gen(i) = curGen
+        keys(i) = k
+        vals(i) = (1L << 20) | math.min(len, 0xFFFFF).toLong
+        touched(nTouched) = i
+        nTouched += 1
+        sizeGen += 1
+      } else vals(i) += (1L << 20)
+    }
+
     /** (maxCount, lenOfMax, dupCharMass) with deterministic max tie-break. */
-    def stats(): (Long, Long, Double) = {
+    def countStats(): (Long, Long, Double) = {
       var maxC = 0L
       var maxLen = 0L
       var maxKey = 0L
       var dup = 0.0
-      var i = 0
-      while (i < cap) {
-        if (used(i)) {
-          val c = vals(i) >>> 20
-          val l = vals(i) & 0xFFFFF
-          if (c > maxC || (c == maxC && (l > maxLen ||
-              (l == maxLen && keys(i) < maxKey)))) {
-            maxC = c; maxLen = l; maxKey = keys(i)
-          }
-          if (c >= 2) dup += c.toDouble * l
+      var t = 0
+      while (t < nTouched) {
+        val i = touched(t)
+        val c = vals(i) >>> 20
+        val l = vals(i) & 0xFFFFF
+        if (c > maxC || (c == maxC && (l > maxLen ||
+            (l == maxLen && keys(i) < maxKey)))) {
+          maxC = c; maxLen = l; maxKey = keys(i)
         }
-        i += 1
+        if (c >= 2) dup += c.toDouble * l
+        t += 1
       }
       (maxC, maxLen, dup)
     }
+  }
+
+  private val scratch = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
   }
 
   /** All heuristic rules, fixed order (stable lineage schema).
@@ -305,8 +525,9 @@ object Heuristics {
   def evaluateWith(text: String, words: IndexedSeq[String],
                    lang: String): Vector[RuleResult] = {
     val lower = words.map(_.toLowerCase(Locale.ROOT))
-    basicRulesWith(text, words, lang) ++ lineRules(text) ++
-      repetitionRulesWith(text, lower)
+    val st = scanText(text)
+    basicRulesFrom(words, lower, lang, st) ++ lineRulesFrom(st) ++
+      repetitionRulesFrom(text, lower, st)
   }
 
   def keep(rules: Seq[RuleResult]): Boolean = !rules.exists(_.fired)
