@@ -114,8 +114,10 @@ object Bench {
       s.sparkContext.setLogLevel("WARN")
       Seq("d1_pii_counts", "j2_scrub", "langid_pred", "perplexity_score",
         "heuristics_basic", "quality_score", "dedup_exact",
-        "dedup_minhash_pairs", "dedup_embedding_pairs", "dedup_ngram_jaccard",
-        "knn_bruteforce", "ann_ivf_topk", "mm_decode_features",
+        "dedup_minhash_pairs", "dedup_simhash", "dedup_embedding_pairs",
+        "dedup_ngram_jaccard", "text_fingerprint",
+        "knn_bruteforce", "ann_lsh_topk", "ann_ivf_topk",
+        "mm_decode_features", "mm_meta_extract",
         "events_window", "q1_agg", "q2_join_topn", "q3_window_topk",
         "q4_setop", "q5_rollup").foreach { name =>
         val q0 = System.nanoTime()
