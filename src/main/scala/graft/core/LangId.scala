@@ -124,10 +124,27 @@ object LangId {
     }.toArray
   }
 
+  /** Bucket-major interleaved copy of [[profiles]]
+    * (`[b * nLangs + li]`): the scoring loop reads all languages' weights
+    * for one bucket from a single cache line instead of five random
+    * positions in five 128 KB arrays. Same floats — scores bit-identical. */
+  private lazy val profilesInterleaved: Array[Float] = {
+    val p = profiles
+    val nLangs = p.length
+    val out = new Array[Float](Buckets * nLangs)
+    var b = 0
+    while (b < Buckets) {
+      var li = 0
+      while (li < nLangs) { out(b * nLangs + li) = p(li)(b); li += 1 }
+      b += 1
+    }
+    out
+  }
+
   /** Predict (language, confidence) for a text. Empty/blank → ("und", 0.0). */
   def predict(text: String): (String, Double) = {
     if (text == null || text.isEmpty) return ("und", 0.0)
-    val profs = profiles
+    val profs = profilesInterleaved
     val scratch = scratchTL.get()
     try {
       val total = countNGrams(text, scratch)
@@ -138,9 +155,10 @@ object LangId {
       while (ti < scratch.nTouched) {
         val b = scratch.touched(ti)
         val c = scratch.counts(b)
+        val base = b * nLangs
         var li = 0
         while (li < nLangs) {
-          scores(li) += c * profs(li)(b)
+          scores(li) += c * profs(base + li)
           li += 1
         }
         ti += 1

@@ -66,9 +66,65 @@ final class NGramLM private (
   def perplexityOfText(text: String): Double =
     perplexityOfWords(Tokenizer.words(text))
 
-  /** Same scoring over pre-tokenized words (fused pipeline path). */
-  def perplexityOfWords(words: IndexedSeq[String]): Double =
-    perplexity(words.map(w => w.filter(Character.isLetter)).filter(_.nonEmpty))
+  /** Same scoring over pre-tokenized words (fused pipeline path).
+    * Normalization (strip non-letters, lowercase) and FNV hashing are
+    * fused into one allocation-free pass for ASCII words — bit-identical
+    * hashes to `hashWord(w.filter(isLetter).toLowerCase(ROOT))`, which the
+    * rare non-ASCII word still takes verbatim. Words with no letters are
+    * skipped without advancing the n-gram context (same as the previous
+    * filter(_.nonEmpty) pre-pass). */
+  def perplexityOfWords(words: IndexedSeq[String]): Double = {
+    var h2 = BosHash
+    var h1 = BosHash
+    var h12 = combine(BosHash, BosHash)
+    var sum = 0.0
+    var count = 0
+    var wi = 0
+    while (wi < words.length) {
+      val word = words(wi)
+      // one classification pass: any letters? any non-ASCII chars?
+      var hasLetter = false
+      var ascii = true
+      var i = 0
+      while (i < word.length) {
+        val c = word.charAt(i)
+        if (c < 128) {
+          val lc = (c | 0x20).toChar
+          if (lc >= 'a' && lc <= 'z') hasLetter = true
+        } else {
+          ascii = false
+          if (Character.isLetter(c)) hasLetter = true
+        }
+        i += 1
+      }
+      if (hasLetter) {
+        val w =
+          if (ascii) {
+            // FNV over the lowercased letter chars only (exact equivalent
+            // of filter(isLetter).toLowerCase for the ASCII range)
+            var h = 0xcbf29ce484222325L
+            i = 0
+            while (i < word.length) {
+              val c0 = word.charAt(i)
+              val lc = (c0 | 0x20).toChar
+              if (lc >= 'a' && lc <= 'z') {
+                h = (h ^ (lc & 0xff)) * 0x100000001b3L
+                h = (h ^ ((lc >> 8) & 0xff)) * 0x100000001b3L
+              }
+              i += 1
+            }
+            h
+          } else {
+            hashWord(word.filter(Character.isLetter).toLowerCase(Locale.ROOT))
+          }
+        sum += logProb(h1, h12, w)
+        h2 = h1; h1 = w; h12 = combine(h2, h1)
+        count += 1
+      }
+      wi += 1
+    }
+    if (count == 0) PerplexityEmpty else math.pow(10.0, -sum / count)
+  }
 }
 
 object NGramLM {

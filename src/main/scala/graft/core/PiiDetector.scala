@@ -92,16 +92,27 @@ object PiiDetector {
     * order, preserving leftmost/first-alternative/non-overlapping
     * `finditer` semantics exactly.
     */
+  /** Per-thread matcher reuse: Matcher allocation (plus its internal group
+    * arrays) is 9 objects per document otherwise. Bounds flags persist
+    * across reset(). */
+  private val matchersTL = new ThreadLocal[Array[java.util.regex.Matcher]] {
+    override def initialValue(): Array[java.util.regex.Matcher] =
+      compiledEach.map { p =>
+        val m = p.matcher("")
+        m.useTransparentBounds(true)
+        m.useAnchoringBounds(false)
+        m
+      }
+  }
+
   def scanFast(text: String): Vector[PiiMatch] = {
     val n = text.length
     if (n == 0) return Vector.empty
     val out = new ArrayBuffer[PiiMatch]()
-    val ms = new Array[java.util.regex.Matcher](compiledEach.length)
+    val ms = matchersTL.get()
     var i = 0
     while (i < ms.length) {
-      ms(i) = compiledEach(i).matcher(text)
-      ms(i).useTransparentBounds(true)
-      ms(i).useAnchoringBounds(false)
+      ms(i).reset(text)
       i += 1
     }
     var pos = 0
@@ -113,16 +124,34 @@ object PiiDetector {
       val emailStart = inEmailClass(c) &&
         (pos == 0 || !inEmailClass(text.charAt(pos - 1)))
       if (digit || credit || paren || emailStart) {
+        // Sound pruning (necessary conditions only — a pattern is never
+        // skipped where it could match):
+        //  - \b-led patterns (routing/account/card/ipv4) need a word
+        //    boundary at pos; prev being a letter/digit/'_' (a strict
+        //    subset of regex \w under UNICODE_CHARACTER_CLASS) proves
+        //    there is none. Other \w chars (marks, join controls) still
+        //    fall through to the regex, which settles it exactly.
+        //  - digit-led \d{3}-prefixed patterns (ssn/routing/account/card/
+        //    phone-from-digit) need digits at pos+1 and pos+2.
+        val prevWordish = digit && pos > 0 && {
+          val p = text.charAt(pos - 1)
+          Character.isLetterOrDigit(p) || p == '_'
+        }
+        val boundary = digit && !prevWordish
+        val d3 = digit && pos + 2 < n &&
+          Character.isDigit(text.charAt(pos + 1)) &&
+          Character.isDigit(text.charAt(pos + 2))
         var matched = false
         var pi = 0
         while (pi < compiledEach.length && !matched) {
           val applies = (pi: @unchecked) match {
-            case 0 | 1 | 2 => digit            // ssn, routing, account
+            case 0 => d3                       // ssn (\d{3}-...)
+            case 1 | 2 => boundary && d3       // routing (9), account (10+)
             case 3 | 4 => credit               // credit score / rating
-            case 5 => digit                    // card
-            case 6 => digit || paren           // phone
+            case 5 => boundary && d3           // card (\d{4}...)
+            case 6 => (digit && d3) || paren   // phone (\(?\d{3}...)
             case 7 => emailStart               // email (lookbehind-gated)
-            case 8 => digit                    // ipv4
+            case 8 => boundary                 // ipv4 (can be 1 digit)
           }
           if (applies) {
             val m = ms(pi)
@@ -227,16 +256,22 @@ object PiiDetector {
     * Both sides live in one row — deliberately zero-shuffle (SURVEY §2.5).
     */
   def spanJoin(tokens: IndexedSeq[WordToken],
-               matches: IndexedSeq[PiiMatch]): IndexedSeq[WordToken] =
+               matches: IndexedSeq[PiiMatch]): IndexedSeq[WordToken] = {
+    if (matches.isEmpty) return tokens // common case: clean doc, zero work
     tokens.map { t =>
       if (t.detectedAs.isDefined) t
-      else matches.collectFirst {
-        case m if t.overlaps(m.start, m.end) => m.piiType.value
-      } match {
-        case Some(v) => t.copy(detectedAs = Some(v))
-        case None    => t
+      else {
+        var found: String = null
+        var i = 0
+        while (found == null && i < matches.length) {
+          val m = matches(i)
+          if (t.overlaps(m.start, m.end)) found = m.piiType.value
+          i += 1
+        }
+        if (found == null) t else t.copy(detectedAs = Some(found))
       }
     }
+  }
 
   /** Deterministic text scrub — the graft's analog of the reference's
     * black-box redaction annotations (backend/pdf/PDFRedactor.py:84-120),
@@ -248,16 +283,25 @@ object PiiDetector {
     * reference's enum value string. Unlabeled text is copied verbatim.
     */
   def scrub(fullText: String, labeled: IndexedSeq[WordToken]): String = {
+    // common case: nothing labeled — the scrubbed text IS the full text
+    var any = false
+    var i = 0
+    while (!any && i < labeled.length) {
+      if (labeled(i).detectedAs.isDefined) any = true
+      i += 1
+    }
+    if (!any) return fullText
     val sb = new java.lang.StringBuilder(fullText.length + 16)
     var pos = 0
-    labeled.foreach { t =>
-      t.detectedAs match {
-        case Some(label) =>
-          if (t.start > pos) sb.append(fullText, pos, t.start)
-          sb.append("[PII:").append(label).append("]")
-          pos = t.end
-        case None => ()
+    i = 0
+    while (i < labeled.length) {
+      val t = labeled(i)
+      if (t.detectedAs.isDefined) {
+        if (t.start > pos) sb.append(fullText, pos, t.start)
+        sb.append("[PII:").append(t.detectedAs.get).append("]")
+        pos = t.end
       }
+      i += 1
     }
     if (pos < fullText.length) sb.append(fullText, pos, fullText.length)
     sb.toString
