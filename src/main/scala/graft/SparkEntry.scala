@@ -465,6 +465,23 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ---- similarity: int8 vector quantization (the ANN compression
+    //      path at scale — 4x smaller candidate tables; per-vector
+    //      symmetric scale q = round(x * 127 / max|x|)). Exploded to
+    //      scalar rows for the driver compare. ----
+    "emb_quantize_int8" -> ((s, dir) => {
+      val emb = withFns(s).read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("emb", col("embedding").cast("array<double>"))
+        .withColumn("m", array_max(transform(col("emb"), x => abs(x))))
+      emb.select(col("vec_id"), col("m"),
+          posexplode(col("emb")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          when(col("m") === 0, lit(0L))
+            .otherwise(round(col("x") * 127.0 / col("m")).cast("long"))
+            .as("q"))
+        .orderBy("vec_id", "dim")
+    }),
+
     // ---- text analysis: composite quality score (oracled) ----
     "quality_score" -> ((s, dir) => {
       val d = docs(s, dir).withColumn("rs", rules(col("text"), lit("en")))
@@ -657,6 +674,17 @@ object SparkEntry {
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
         "max(n_chars) AS max_chars FROM documents GROUP BY source " +
         "ORDER BY source"),
+
+    "emb_quantize_int8" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb " +
+        "FROM embeddings), " +
+        "m AS (SELECT vec_id, emb, " +
+        "list_max(list_transform(emb, x -> abs(x))) AS m FROM e), " +
+        "u AS (SELECT vec_id, emb, m, unnest(range(1, len(emb) + 1)) AS i " +
+        "FROM m) " +
+        "SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, " +
+        "CAST(CASE WHEN m = 0 THEN 0 ELSE round(emb[i] * 127.0 / m) END " +
+        "AS BIGINT) AS q FROM u ORDER BY vec_id, dim"),
 
     "mm_meta_extract" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS blob_bytes, " +
