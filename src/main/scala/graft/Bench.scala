@@ -88,9 +88,10 @@ object Bench {
       runPipeline(s, pagesPath) // per-session warmup
       val stage0 = graft.core.StageTimers.snapshot()
       val st0 = stealJiffies
-      // best-of-N vs host noise (shared VM): 2 passes at the slow level,
-      // 3 at the fast ones
-      val passes = if (level == 4) 2 else 3
+      // best-of-N vs host noise (shared VM): the scaling-efficiency RATIO
+      // is what the north rule reads, so each level gets enough passes
+      // that one noisy sample cannot skew it
+      val passes = if (level == 4) 3 else 5
       val t = (1 to passes).map(_ => runPipeline(s, pagesPath)).min
       steals(level) = stealJiffies - st0
       times(level) = t
