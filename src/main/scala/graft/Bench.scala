@@ -115,7 +115,8 @@ object Bench {
       s.sparkContext.setLogLevel("WARN")
       Seq("d1_pii_counts", "j2_scrub", "langid_pred", "perplexity_score",
         "heuristics_basic", "quality_score", "dedup_exact",
-        "dedup_minhash_pairs", "dedup_simhash", "dedup_embedding_pairs",
+        "dedup_minhash_pairs", "dedup_clusters", "dedup_simhash",
+        "dedup_embedding_pairs",
         "dedup_ngram_jaccard", "text_fingerprint",
         "knn_bruteforce", "ann_lsh_topk", "ann_ivf_topk", "emb_quantize_int8",
         "mm_decode_features", "mm_meta_extract",

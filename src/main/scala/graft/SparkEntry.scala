@@ -64,6 +64,34 @@ object SparkEntry {
       "single morning of the long warm summer season tail variant ', " +
       "cast(doc_id % 4 as string)) else text end"
 
+  /** CTE chain computing the exact-Jaccard >= 0.8 pair set (`jpairs`) in
+    * DuckDB — shared by the dedup_minhash_pairs and dedup_clusters
+    * oracles. Mirrors the Spark shingle construction exactly. */
+  private val exactJaccardPairsCtes: String = {
+    val base = "'the quick brown fox jumps over the lazy dog while the " +
+      "wise old owl watches from the tall oak tree near the quiet river " +
+      "bank every single morning of the long warm summer season tail " +
+      "variant ' || (doc_id % 4)"
+    s"w AS (SELECT doc_id, " +
+      s"list_transform(list_filter(string_split(" +
+      s"CASE WHEN doc_id % 25 = 0 THEN $base ELSE text END, ' '), " +
+      s"x -> x <> ''), x -> lower(x)) AS ws FROM documents), " +
+      s"d AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN " +
+      s"list_distinct(list_transform(range(0, len(ws) - 2), " +
+      s"i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) " +
+      s"ELSE [array_to_string(ws, ' ')] END AS sh FROM w), " +
+      s"sh AS (SELECT doc_id, unnest(d.sh) AS w FROM d), " +
+      s"pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      s"count(*) AS n_inter FROM sh a JOIN sh b ON a.w = b.w " +
+      s"AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      s"sizes AS (SELECT doc_id, len(d.sh) AS n FROM d), " +
+      s"jpairs AS (SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter, " +
+      s"CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union " +
+      s"FROM pair JOIN sizes sa ON id_a = sa.doc_id " +
+      s"JOIN sizes sb ON id_b = sb.doc_id " +
+      s"WHERE n_inter * 10 >= (sa.n + sb.n - n_inter) * 8)"
+  }
+
   private def rules(c: Column, lang: Column) = quality_rules(c, lang)
 
   private def ruleValue(rs: Column, name: String): Column =
@@ -81,6 +109,34 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     withFns(spark)
     QualityPipeline(PagesSynth.pages(spark, 500, 8))
+  }
+
+  /** The MinHash/LSH near-dup pipeline shared by `dedup_minhash_pairs`
+    * and `dedup_clusters`: band join (empty docs emit no bands) →
+    * band-bucket size cap → exact shingle-Jaccard ≥ 0.8 confirmation over
+    * candidates only. Columns: id_a, id_b, n_inter, n_union. */
+  private def minhashConfirmedPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("t", expr(nearDupSql))
+    val bandRows = d.select(col("doc_id"),
+      explode(lsh_bands(col("t"))).as("band"))
+    val safeBuckets = bandRows.groupBy("band")
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= 64).select("band")
+    val safe = bandRows.join(safeBuckets, "band")
+    val cand = safe.as("a").join(safe.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sh = d.select(col("doc_id"), shingles(col("t")).as("sh"))
+    cand.join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long")
+          .as("n_inter"),
+        (size(col("sa.sh")) + size(col("sb.sh")) -
+          size(array_intersect(col("sa.sh"), col("sb.sh")))).cast("long")
+          .as("n_union"))
+      .filter(col("n_inter") * lit(10) >= col("n_union") * lit(8)) // J>=0.8
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -227,29 +283,42 @@ object SparkEntry {
     // The oracle brute-forces exact Jaccard over all pairs — feasible at
     // verify scale; the Spark plan never goes all-pairs. LSH(b=32,r=4)
     // recall at the J>=0.8 output threshold is 1-(1-0.8^4)^32 ≈ 1-5e-8.
-    "dedup_minhash_pairs" -> ((s, dir) => {
-      val d = docs(s, dir).withColumn("t", expr(nearDupSql))
-      val bandRows = d.select(col("doc_id"),
-        explode(lsh_bands(col("t"))).as("band"))
-      val safeBuckets = bandRows.groupBy("band")
-        .agg(count(lit(1)).as("bn")).filter(col("bn") <= 64).select("band")
-      val safe = bandRows.join(safeBuckets, "band")
-      val cand = safe.as("a").join(safe.as("b"),
-          col("a.band") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-      val sh = d.select(col("doc_id"), shingles(col("t")).as("sh"))
-      cand.join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
-        .join(sh.as("sb"), col("id_b") === col("sb.doc_id"))
-        .select(col("id_a"), col("id_b"),
-          size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long")
-            .as("n_inter"),
-          (size(col("sa.sh")) + size(col("sb.sh")) -
-            size(array_intersect(col("sa.sh"), col("sb.sh")))).cast("long")
-            .as("n_union"))
-        .filter(col("n_inter") * lit(10) >= col("n_union") * lit(8)) // J>=0.8
-        .orderBy("id_a", "id_b")
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      minhashConfirmedPairs(s, dir).orderBy("id_a", "id_b")),
+
+    // ---- dedup: duplicate clustering — connected components over the
+    //      confirmed near-dup pairs (min-label propagation, the
+    //      large-star/small-star family; planted clusters are cliques so
+    //      this converges in 1-2 rounds, O(diameter) in general). The
+    //      fixpoint loop is the standard driver-side iterate-with-action
+    //      pattern; lineage is truncated per round via localCheckpoint
+    //      (a checkpoint dir at cluster scale). canonical = min doc_id. ----
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = minhashConfirmedPairs(s, dir)
+        .select(col("id_a"), col("id_b"))
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .localCheckpoint(true)
+      var lab = edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster_id", col("id"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val viaNeighbor = edges
+          .join(lab.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), col("cluster_id"))
+        val next = lab.unionByName(viaNeighbor)
+          .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
+          .localCheckpoint(true)
+        changed = next.as("n").join(lab.as("o"), "id")
+          .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+        lab = next
+        iter += 1
+      }
+      lab.select(col("id").as("doc_id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("is_canonical"))
+        .orderBy("doc_id")
     }),
 
     // ---- dedup: SimHash invariants over planted exact-dup clusters.
@@ -701,31 +770,25 @@ object SparkEntry {
     // ground truth for the LSH pipeline: brute-force exact 3-gram-shingle
     // Jaccard >= 0.8 over ALL pairs (feasible at verify scale only; the
     // Spark side reaches the same set through banding + confirmation)
-    "dedup_minhash_pairs" -> {
-      val base = "'the quick brown fox jumps over the lazy dog while the " +
-        "wise old owl watches from the tall oak tree near the quiet river " +
-        "bank every single morning of the long warm summer season tail " +
-        "variant ' || (doc_id % 4)"
-      s"WITH w AS (SELECT doc_id, " +
-        s"list_transform(list_filter(string_split(" +
-        s"CASE WHEN doc_id % 25 = 0 THEN $base ELSE text END, ' '), " +
-        s"x -> x <> ''), x -> lower(x)) AS ws FROM documents), " +
-        s"d AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN " +
-        s"list_distinct(list_transform(range(0, len(ws) - 2), " +
-        s"i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) " +
-        s"ELSE [array_to_string(ws, ' ')] END AS sh FROM w), " +
-        s"sh AS (SELECT doc_id, unnest(d.sh) AS w FROM d), " +
-        s"pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        s"count(*) AS n_inter FROM sh a JOIN sh b ON a.w = b.w " +
-        s"AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-        s"sizes AS (SELECT doc_id, len(d.sh) AS n FROM d) " +
-        s"SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter, " +
-        s"CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union " +
-        s"FROM pair JOIN sizes sa ON id_a = sa.doc_id " +
-        s"JOIN sizes sb ON id_b = sb.doc_id " +
-        s"WHERE n_inter * 10 >= (sa.n + sb.n - n_inter) * 8 " +
-        s"ORDER BY id_a, id_b"
-    },
+    "dedup_minhash_pairs" ->
+      (s"WITH $exactJaccardPairsCtes " +
+        s"SELECT id_a, id_b, n_inter, n_union FROM jpairs " +
+        s"ORDER BY id_a, id_b"),
+
+    // clusters = connected components over the SAME pair set, computed in
+    // DuckDB as a recursive reachability closure (cluster = min reachable
+    // id; component sizes are small so the closure is cheap at verify scale)
+    "dedup_clusters" ->
+      (s"WITH RECURSIVE $exactJaccardPairsCtes, " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs " +
+        "UNION ALL SELECT id_b, id_a FROM jpairs), " +
+        "reach(id, c) AS (" +
+        "SELECT src, src FROM edges " +
+        "UNION " +
+        "SELECT e.dst, r.c FROM reach r JOIN edges e ON e.src = r.id) " +
+        "SELECT id AS doc_id, min(c) AS cluster_id, " +
+        "id = min(c) AS is_canonical " +
+        "FROM reach GROUP BY id ORDER BY doc_id"),
 
     "dedup_simhash" ->
       ("SELECT doc_id % 3 AS cluster, CAST(1 AS BIGINT) AS n_distinct_simhash, " +

@@ -51,6 +51,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_clusters: planted docs form one component, canonical = min id") {
+    val rows = SparkEntry.queries("dedup_clusters")(spark, dir).collect()
+    val planted = rows.filter(r => r.getLong(0) % 25 == 0)
+    // all 20 planted docs share the long base paragraph, so cross-variant
+    // Jaccard (~0.84) also clears the 0.8 confirm threshold: ONE component
+    assert(planted.length == 20)
+    assert(planted.forall(_.getLong(1) == 0L),
+      planted.map(r => (r.getLong(0), r.getLong(1))).mkString(","))
+    val canon = planted.filter(_.getBoolean(2)).map(_.getLong(0)).toSeq
+    assert(canon == Seq(0L), s"canonical=$canon")
+    // every cluster in the output has exactly one canonical, the min id
+    rows.groupBy(_.getLong(1)).foreach { case (cid, members) =>
+      assert(members.map(_.getLong(0)).min == cid)
+      assert(members.count(_.getBoolean(2)) == 1)
+    }
+  }
+
   test("dedup_embedding_pairs finds exactly the 20 planted twins") {
     val rows = SparkEntry.queries("dedup_embedding_pairs")(spark, dir).collect()
     assert(rows.length == 20)
