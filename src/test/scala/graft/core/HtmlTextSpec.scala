@@ -1,0 +1,38 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HtmlText extraction gates: script/style subtree removal, entity
+  * decoding, block-tag line breaks — and the linearity regression for
+  * script-heavy pages (the per-tag whole-document lowercase was O(n^2)). */
+class HtmlTextSpec extends AnyFunSuite {
+
+  test("drops script/style subtrees, decodes entities, breaks on blocks") {
+    val html = "<html><head><style>p { color: red }</style>" +
+      "<SCRIPT>var x = '<p>not text</p>';</SCRIPT></head>" +
+      "<body><p>Tom &amp; Jerry &lt;3</p><div>second&nbsp;line</div></body></html>"
+    val out = HtmlText.extract(html)
+    assert(!out.contains("color"))
+    assert(!out.contains("var x"))
+    assert(out.contains("Tom & Jerry <3"))
+    assert(out.contains("second line"))
+    // block tags produced line structure
+    assert(out.linesIterator.exists(_.trim == "Tom & Jerry <3"))
+  }
+
+  test("script-heavy page extracts in linear time (regression)") {
+    // 20k script tags; the old per-tag toLowerCase of the whole document
+    // made this quadratic (~minutes). Budget is generous vs the ~100ms a
+    // linear pass takes, while still failing loudly on O(n^2).
+    val sb = new StringBuilder
+    (1 to 20000).foreach { i =>
+      sb.append(s"<p>para $i</p><script>x($i);</script>")
+    }
+    val html = sb.toString
+    val t0 = System.nanoTime()
+    val out = HtmlText.extract(html)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(out.contains("para 19999") && !out.contains("x(19999)"))
+    assert(sec < 5.0, f"extract took $sec%.1f s — quadratic regression?")
+  }
+}
