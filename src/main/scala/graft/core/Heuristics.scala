@@ -262,14 +262,20 @@ object Heuristics {
         st.sentences.toDouble, MinSentences.toDouble))
   }
 
+  // bounded: lang is caller data on real webtext (dirty values like
+  // "en-US", junk) — never let an unbounded key space pin one index map
+  // per distinct string for the executor's lifetime
   private val stopwordIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.HashMap[String, Integer]]()
+  private def buildStopIdx(lang: String): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    SeedCorpus.stopwordsFor(lang).foreach(w => m.put(w, m.size))
+    m
+  }
   private def stopIdxFor(lang: String): java.util.HashMap[String, Integer] =
-    stopwordIdxCache.computeIfAbsent(lang, l => {
-      val m = new java.util.HashMap[String, Integer]()
-      SeedCorpus.stopwordsFor(l).foreach(w => m.put(w, m.size))
-      m
-    })
+    if (stopwordIdxCache.size > 64 && !stopwordIdxCache.containsKey(lang))
+      buildStopIdx(lang) // uncached beyond the bound (per-call, GC'd)
+    else stopwordIdxCache.computeIfAbsent(lang, buildStopIdx(_))
 
   /** Line-shape rules (lines split on '\n'; blank lines excluded). */
   def lineRules(text: String): Vector[RuleResult] =
@@ -417,21 +423,30 @@ object Heuristics {
 
     private var sizeGen = 0
 
+    // retain at most ~16 MB of table after a pathological document so one
+    // huge page cannot pin executor memory for the thread's lifetime
+    private val MaxRetainedCap = 1 << 19
+
     /** Fresh logical table with room for `entries` at <= 50% load (a hint
       * only — the table grows with rehash if the hint was low). */
     def newTable(entries: Int): Unit = {
       val need = Integer.highestOneBit(math.max(8, entries)) * 4
-      if (need > cap) {
-        while (cap < need) cap <<= 1
+      if (need > cap || (cap > MaxRetainedCap && need <= MaxRetainedCap)) {
+        cap = math.max(need, 2048)
         keys = new Array[Long](cap)
         vals = new Array[Long](cap)
         gen = new Array[Int](cap)
         mask = cap - 1
+        curGen = 0
       }
       if (touched.length < entries + 8)
         touched = new Array[Int](Integer.highestOneBit(entries + 8) * 2)
       nTouched = 0
       sizeGen = 0
+      if (curGen == Int.MaxValue) { // stamp wrap: ~2^32 tables per thread
+        java.util.Arrays.fill(gen, 0)
+        curGen = 0
+      }
       curGen += 1
     }
 

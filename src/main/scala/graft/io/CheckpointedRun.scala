@@ -65,6 +65,21 @@ object CheckpointedRun {
     Files.createDirectories(progressDir(root, runId))
     val done = completedPartitions(root, runId)
 
+    // a run's partition scheme is part of its identity: resuming the same
+    // runId with a different numPartitions would silently skip buckets
+    // (staged copy AND completion manifests are keyed by the old scheme)
+    val partsFile = progressDir(root, runId).resolve("_num_partitions")
+    if (Files.exists(partsFile)) {
+      val prev = new String(Files.readAllBytes(partsFile),
+        StandardCharsets.UTF_8).trim.toInt
+      require(prev == numPartitions,
+        s"run $runId was started with numPartitions=$prev; " +
+          s"resume must use the same value (got $numPartitions)")
+    } else {
+      Files.write(partsFile,
+        numPartitions.toString.getBytes(StandardCharsets.UTF_8))
+    }
+
     val stagedPath = Paths.get(root, "_staged", s"run=$runId").toString
     if (!Files.exists(Paths.get(stagedPath, "_SUCCESS"))) {
       input

@@ -143,10 +143,8 @@ object IcebergStyleTable {
     val dest = dataDir(root).resolve(genName(version)).toString
     val rowCount = writeCounted(salted, version, partitionCols, dest)
 
-    val added = listGenFiles(root, version)
-    commitMetadata(root, version, manifest(root, version - 1) ++ added,
-      added, rowCount, partitionCols, extra = "")
-
+    // schema metadata is written BEFORE the hint flip — once a reader can
+    // see version N, every metadata file of N already exists
     val schemaJson = df.schema.json
     val metaJson =
       s"""{"format-version":$version,"schema":$schemaJson,
@@ -154,6 +152,10 @@ object IcebergStyleTable {
          |"current_snapshot":$version}""".stripMargin.replace("\n", "")
     Files.write(metaDir(root).resolve(s"v$version.metadata.json"),
       metaJson.getBytes(StandardCharsets.UTF_8))
+
+    val added = listGenFiles(root, version)
+    commitMetadata(root, version, manifest(root, version - 1) ++ added,
+      added, rowCount, partitionCols, extra = "")
 
     Snapshot(version, added, rowCount)
   }

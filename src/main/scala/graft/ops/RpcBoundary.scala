@@ -48,20 +48,24 @@ object RpcBoundary {
       }
 
       def callWithRetry(batch: Seq[A]): Seq[B] = {
+        // NonFatal only: task kills (InterruptedException) and VM errors
+        // must propagate — retrying or data-fying them would commit
+        // corrupted output instead of failing the task
+        import scala.util.control.NonFatal
         var attempt = 0
         while (true) {
           try return client.call(batch)
           catch {
-            case _: Throwable if attempt < backoffMs.length =>
+            case NonFatal(_) if attempt < backoffMs.length =>
               Thread.sleep(backoffMs(attempt))
               attempt += 1
-            case _: Throwable if batch.length > 1 =>
+            case NonFatal(_) if batch.length > 1 =>
               // degrade to per-item calls: isolate the poisoned rows
               return batch.map { item =>
                 try client.call(Seq(item)).head
-                catch { case ie: Throwable => onError(item, ie) }
+                catch { case NonFatal(ie) => onError(item, ie) }
               }
-            case e: Throwable =>
+            case NonFatal(e) =>
               return Seq(onError(batch.head, e))
           }
         }
