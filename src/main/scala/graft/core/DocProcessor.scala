@@ -37,15 +37,24 @@ object DocProcessor {
   def process(text: String): DocResult =
     try {
       val t0 = System.nanoTime()
-      val (full, tokens) = Tokenizer.tokenize(text)
+      val (full, wordArr, startArr) = Tokenizer.tokenizeArrays(text)
+      val words: IndexedSeq[String] =
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(wordArr)
       val t1 = System.nanoTime()
       val matches = PiiDetector.extract(full)
-      val labeled = PiiDetector.spanJoin(tokens, matches)
-      val scrubbed = PiiDetector.scrub(full, labeled)
+      // token objects only exist for docs that matched something — the
+      // span join and scrub are identities on a clean doc
+      val (scrubbed, nRedacted) =
+        if (matches.isEmpty) (full, 0)
+        else {
+          val labeled = PiiDetector.spanJoin(
+            Tokenizer.tokensOf(wordArr, startArr), matches)
+          (PiiDetector.scrub(full, labeled),
+            labeled.count(_.detectedAs.isDefined))
+        }
       val t2 = System.nanoTime()
       val (lang, conf) = LangId.predict(full)
       val t3 = System.nanoTime()
-      val words = tokens.map(_.text)
       val ppl = NGramLM.perplexityWords(words, lang)
       val t4 = System.nanoTime()
       val rules = Heuristics.evaluateWith(text, words, lang) ++
@@ -58,7 +67,7 @@ object DocProcessor {
       StageTimers.add("heuristics", t5 - t4)
       StageTimers.addDoc()
       DocResult(full, scrubbed, matches,
-        labeled.count(_.detectedAs.isDefined), lang, conf, ppl, rules,
+        nRedacted, lang, conf, ppl, rules,
         keep = !rules.exists(_.fired), error = None)
     } catch {
       case e: Throwable =>

@@ -35,19 +35,43 @@ object Tokenizer {
     out.toIndexedSeq
   }
 
+  /** Primitive-array form of [[tokenize]]: one fused pass producing
+    * (fullText, words, startOffsets) with `end = start + word.length`
+    * implied. The fused pipeline uses this and materializes [[WordToken]]
+    * objects only for documents that actually have PII matches — on clean
+    * webtext that skips ~150 object allocations per document. */
+  def tokenizeArrays(text: String): (String, Array[String], Array[Int]) = {
+    val ws = new ArrayBuffer[String]()
+    val starts = new ArrayBuffer[Int]()
+    val sb = new java.lang.StringBuilder(text.length)
+    var i = 0
+    val n = text.length
+    var start = 0
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      val w0 = i
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > w0) {
+        val w = text.substring(w0, i)
+        if (sb.length > 0) sb.append(' ')
+        sb.append(w)
+        ws += w
+        starts += start
+        start += w.length + 1
+      }
+    }
+    (sb.toString, ws.toArray, starts.toArray)
+  }
+
+  /** Materialize the token objects for a tokenizeArrays result. */
+  def tokensOf(ws: Array[String], starts: Array[Int]): IndexedSeq[WordToken] =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      Array.tabulate(ws.length)(k =>
+        WordToken(ws(k), starts(k), starts(k) + ws(k).length)))
+
   /** Rebuild (fullText, tokens-with-offsets) per the reference contract. */
   def tokenize(text: String): (String, IndexedSeq[WordToken]) = {
-    val ws = words(text)
-    val sb = new java.lang.StringBuilder(text.length)
-    val toks = new ArrayBuffer[WordToken](ws.length)
-    var start = 0
-    ws.foreach { w =>
-      val end = start + w.length
-      if (sb.length > 0) sb.append(' ')
-      sb.append(w)
-      toks += WordToken(w, start, end)
-      start = end + 1
-    }
-    (sb.toString, toks.toIndexedSeq)
+    val (full, ws, starts) = tokenizeArrays(text)
+    (full, tokensOf(ws, starts))
   }
 }

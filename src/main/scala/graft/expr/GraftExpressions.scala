@@ -67,15 +67,28 @@ object GraftSchemas {
     StructField("keep", BooleanType, nullable = false),
     StructField("error", StringType, nullable = true)))
 
+  /** Constant-string UTF8String cache: rule names, PII type labels, and
+    * language codes come from small fixed sets, but
+    * `UTF8String.fromString` allocates a fresh byte[] every call — ~30
+    * allocations per document across the lineage arrays. UTF8String is
+    * immutable, so sharing is safe; the bound guards against a corrupt
+    * caller flooding the map. */
+  private val utf8Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, UTF8String]()
+  def constUtf8(s: String): UTF8String =
+    if (utf8Cache.size > 256 && !utf8Cache.containsKey(s))
+      UTF8String.fromString(s)
+    else utf8Cache.computeIfAbsent(s, UTF8String.fromString(_))
+
   def matchesToCatalyst(ms: Seq[PiiMatch]): ArrayData =
     new GenericArrayData(ms.map { m =>
-      InternalRow(UTF8String.fromString(m.piiType.value), m.start, m.end,
+      InternalRow(constUtf8(m.piiType.value), m.start, m.end,
         UTF8String.fromString(m.text))
     }.toArray[Any])
 
   def rulesToCatalyst(rs: Seq[RuleResult]): ArrayData =
     new GenericArrayData(rs.map { r =>
-      InternalRow(UTF8String.fromString(r.rule), r.fired, r.value, r.threshold)
+      InternalRow(constUtf8(r.rule), r.fired, r.value, r.threshold)
     }.toArray[Any])
 }
 
@@ -141,7 +154,7 @@ case class PageProcess(child: Expression) extends StringKernelExpression {
       UTF8String.fromString(r.scrubbedText),
       GraftSchemas.matchesToCatalyst(r.matches),
       r.nRedacted,
-      UTF8String.fromString(r.lang),
+      GraftSchemas.constUtf8(r.lang),
       r.langConf,
       r.perplexity,
       GraftSchemas.rulesToCatalyst(r.rules),
@@ -162,7 +175,7 @@ case class PiiTokens(child: Expression) extends StringKernelExpression {
       PiiDetector.detectAndScrub(v.asInstanceOf[UTF8String].toString)
     new GenericArrayData(labeled.map { t =>
       InternalRow(UTF8String.fromString(t.text), t.start, t.end,
-        t.detectedAs.map(UTF8String.fromString).orNull)
+        t.detectedAs.map(GraftSchemas.constUtf8).orNull)
     }.toArray[Any])
   }
   override protected def withNewChildInternal(c: Expression): PiiTokens = copy(c)
@@ -175,7 +188,7 @@ case class LangIdExpr(child: Expression) extends StringKernelExpression {
   override def dataType: DataType = GraftSchemas.langStruct
   override def nullSafeEval(v: Any): Any = {
     val (lang, conf) = LangId.predict(v.asInstanceOf[UTF8String].toString)
-    InternalRow(UTF8String.fromString(lang), conf)
+    InternalRow(GraftSchemas.constUtf8(lang), conf)
   }
   override protected def withNewChildInternal(c: Expression): LangIdExpr = copy(c)
   override def prettyName: String = "graft_langid"
