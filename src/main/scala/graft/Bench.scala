@@ -113,7 +113,7 @@ object Bench {
     locally {
       val s = session(cpus)
       s.sparkContext.setLogLevel("WARN")
-      Seq("d1_pii_counts", "j2_scrub", "langid_pred", "perplexity_score",
+      Seq("d1_pii_counts", "d3_pii_financial", "j2_scrub", "langid_pred", "perplexity_score",
         "heuristics_basic", "quality_score", "dedup_exact",
         "dedup_minhash_pairs", "dedup_clusters", "dedup_simhash",
         "dedup_embedding_pairs",

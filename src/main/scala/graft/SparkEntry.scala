@@ -47,6 +47,32 @@ object SparkEntry {
       "'. Host 10.' || (doc_id % 250) || '.' || (doc_id % 100) || '.' || " +
       "(1 + doc_id % 50) || '.'"
 
+  /** Standalone financial-PII text (no base text, so no accidental
+    * matches): one card / routing / account / credit-score / rating per
+    * doc, token-separated and overlap-free across the five types by
+    * construction (digit-group shapes 4-4-4-4 / 9 / 11 / 3 cannot satisfy
+    * each other's patterns; verified in the d3 query comment). */
+  private val ratingCaseSql: String =
+    "case cast(doc_id % 6 as int) when 0 then 'very good' when 1 then 'good' " +
+      "when 2 then 'excellent' when 3 then 'fair' when 4 then 'poor' " +
+      "else 'bad' end"
+  private val finTextSql: String =
+    "concat('card 4', cast(100 + doc_id % 900 as string), '-1111-2222-', " +
+      "cast(1000 + doc_id % 9000 as string), " +
+      "' routing ', cast(100000000 + doc_id % 900000000 as string), " +
+      "' account ', cast(10000000000 + doc_id as string), " +
+      "' credit score: ', cast(300 + doc_id % 550 as string), " +
+      s"'. credit report: ', $ratingCaseSql, '.')"
+  private val finTextDuck: String =
+    "'card 4' || (100 + doc_id % 900) || '-1111-2222-' || " +
+      "(1000 + doc_id % 9000) || ' routing ' || " +
+      "(100000000 + doc_id % 900000000) || ' account ' || " +
+      "(10000000000 + doc_id) || ' credit score: ' || " +
+      "(300 + doc_id % 550) || '. credit report: ' || " +
+      "(CASE doc_id % 6 WHEN 0 THEN 'very good' WHEN 1 THEN 'good' " +
+      "WHEN 2 THEN 'excellent' WHEN 3 THEN 'fair' WHEN 4 THEN 'poor' " +
+      "ELSE 'bad' END) || '.'"
+
   /** Deterministic dup/near-dup planting for the dedup operators. */
   private val dupTextSql: String =
     "case when doc_id % 11 < 2 then concat('duplicate cluster ', " +
@@ -205,6 +231,29 @@ object SparkEntry {
         .filter(col("pii_type").isin("SSN", "Email", "Phone Number",
           "IP Address"))
         .orderBy("doc_id", "pii_type", "seq")
+    }),
+
+    // ---- D1 financial patterns (reference core set beyond the webtext
+    //      four): card / routing / account / credit score / rating,
+    //      end-to-end through the fused scanner vs independent DuckDB
+    //      regexes. The constructed text is standalone (no base text) and
+    //      overlap-free BY CONSTRUCTION for these five types; phone/ssn
+    //      columns are deliberately absent — the engine's first-match-wins
+    //      consumes the 11-digit account before the phone pattern could
+    //      claim its 10-digit prefix, which independent per-pattern
+    //      counting cannot mirror. ----
+    "d3_pii_financial" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("fin_text", expr(finTextSql))
+        .withColumn("ms", pii_extract(col("fin_text")))
+      def cnt(t: String) = size(filter(col("ms"),
+        m => m("pii_type") === lit(t))).cast("long")
+      d.select(col("doc_id"),
+        cnt("Credit Card Number").as("n_card"),
+        cnt("Routing Number").as("n_routing"),
+        cnt("Account Number").as("n_account"),
+        cnt("Credit Score").as("n_score"),
+        cnt("Credit Score Rating").as("n_rating"))
+        .orderBy("doc_id")
     }),
 
     // ---- J1+J2+R1: span join + whole-token scrub ----
@@ -690,6 +739,18 @@ object SparkEntry {
         s"len(regexp_extract_all($piiTextDuck, " +
         s"'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ip " +
         s"FROM documents ORDER BY doc_id"),
+
+    "d3_pii_financial" ->
+      (s"SELECT doc_id, " +
+        s"len(regexp_extract_all($finTextDuck, " +
+        s"'\\b(?:\\d{4}[ -]?){3}\\d{4}\\b')) AS n_card, " +
+        s"len(regexp_extract_all($finTextDuck, '\\b\\d{9}\\b')) AS n_routing, " +
+        s"len(regexp_extract_all($finTextDuck, '\\b\\d{10,17}\\b')) AS n_account, " +
+        s"len(regexp_extract_all($finTextDuck, " +
+        s"'credit score:\\s*\\d{3}')) AS n_score, " +
+        s"len(regexp_extract_all($finTextDuck, " +
+        s"'credit report:\\s*(very good|good|excellent|fair|poor|bad)')) " +
+        s"AS n_rating FROM documents ORDER BY doc_id"),
 
     // per-type match rows with ordinal: unnest(range) gives the 1-based
     // in-order position; regex finditer order == the engine's sorted order
