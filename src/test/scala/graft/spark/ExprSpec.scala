@@ -39,6 +39,23 @@ class ExprSpec extends AnyFunSuite {
       .orderBy("id").collect()
     assert(out(0).isNullAt(1) && out(0).isNullAt(2) && out(0).isNullAt(3))
     assert(!out(1).isNullAt(1))
+
+    // vector expressions: null embedding -> null, and determinism
+    val vdf = Seq((1L, Option.empty[Seq[Double]]),
+        (2L, Some(Seq(0.5, -0.25, 1.0, 0.125))))
+      .toDF("id", "emb")
+    val cents = org.apache.spark.sql.functions.typedLit(
+      Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0)))
+    val vout = vdf.select(col("id"),
+      graft.expr.GraftFunctions.lsh_project(col("emb")).as("sig"),
+      graft.expr.GraftFunctions.ivf_assign(col("emb"), cents).as("cell"))
+      .orderBy("id").collect()
+    assert(vout(0).isNullAt(1) && vout(0).isNullAt(2))
+    assert(!vout(1).isNullAt(1))
+    val sig = vout(1).getLong(1)
+    assert(sig >= 0 && sig < 65536, s"sig=$sig outside 16 bits")
+    // cosine argmax against axis centroids: emb[0]=0.5 vs emb[1]=-0.25
+    assert(vout(1).getLong(2) == 0L)
   }
 
   test("pii schema shape matches SURVEY §1.4 output contract") {
