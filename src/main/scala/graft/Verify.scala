@@ -16,8 +16,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // delete any stale dump FIRST: a failing query must show up as a
+      // missing result, not silently pass the compare against the parquet
+      // a previous run left in the same outDir
+      val dest = Paths.get(s"$outDir/$name")
+      if (Files.exists(dest)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(dest).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+        .parquet(dest.toString)
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

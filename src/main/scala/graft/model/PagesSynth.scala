@@ -127,7 +127,7 @@ object PagesSynth {
       (lines.take(2) ++ Array("lorem ipsum dolor sit amet consectetur.") ++
         lines.drop(2)).mkString("\n")
     case "non_alpha" =>
-      // replace ~40% of words with digit runs (too short to be PII: 4-8 digits)
+      // replace ~40% of words with digit runs (too short to be PII: 4-7 digits)
       Tokenizer.words(base).map { w =>
         if (rnd.nextDouble() < 0.4)
           (1 to (4 + rnd.nextInt(4))).map(_ => rnd.nextInt(10)).mkString
@@ -224,28 +224,45 @@ object PagesSynth {
 
     var text = attemptText(0)
     var expectedKeep = defect == "none"
-    if (defect == "none" && validated) {
-      // validate: retry until every gate passes (exact intent labels).
-      // html-only rows are validated on the *extracted* text — the form the
-      // pipeline actually scores.
+    if (validated) {
+      // validate: retry until the generated text realizes the INTENT
+      // (clean -> keep, defect -> drop). html-only rows are validated on
+      // the *extracted* text — the form the pipeline actually scores.
+      def evalTextOf(t: String): String =
+        if (htmlOnly) HtmlText.extract(wrapHtml(t, new Random(mix(id ^ 7))))
+        else t
       var attempt = 0
       var ok = false
       while (!ok && attempt < 20) {
         text = attemptText(attempt)
-        val evalText =
-          if (htmlOnly) HtmlText.extract(wrapHtml(text, new Random(mix(id ^ 7))))
-          else text
-        val rules = Heuristics.evaluate(evalText, lang)
-        // langid must see the same whitespace-normalized full_text the
-        // pipeline scores (DocProcessor predicts on the rebuilt text;
-        // n-grams spanning raw line breaks hash differently)
-        val (pred, conf) = LangId.predict(Tokenizer.tokenize(evalText)._1)
-        val ppl = NGramLM.perplexity(evalText, pred)
-        ok = Heuristics.keep(rules) && pred == lang && conf >= LangConfMin &&
-          ppl <= PerplexityMax * 0.8
+        val evalText = evalTextOf(text)
+        ok =
+          if (defect == "none") {
+            // clean docs pass a STRICTER gate than the pipeline (margin:
+            // ppl at 80% of the threshold, predicted == intended lang) so
+            // marginal numeric drift can't flip a keep label
+            val rules = Heuristics.evaluate(evalText, lang)
+            // langid must see the same whitespace-normalized full_text the
+            // pipeline scores (DocProcessor predicts on the rebuilt text;
+            // n-grams spanning raw line breaks hash differently)
+            val (pred, conf) = LangId.predict(Tokenizer.tokenize(evalText)._1)
+            val ppl = NGramLM.perplexity(evalText, pred)
+            Heuristics.keep(rules) && pred == lang && conf >= LangConfMin &&
+              ppl <= PerplexityMax * 0.8
+          } else {
+            // defect docs must actually trip the pipeline (probabilistic
+            // defects like non_alpha can land in the binomial tail where
+            // no rule fires — retry with a fresh defect roll)
+            !DocProcessor.process(evalText).keep
+          }
         attempt += 1
       }
-      expectedKeep = ok // ok is true in practice; if not, label honestly
+      expectedKeep =
+        if (ok) defect == "none"
+        // exhausted: label honestly with the PIPELINE's actual decision on
+        // the final text (not the stricter generator gate, which would
+        // call a pipeline-keepable marginal doc a drop)
+        else DocProcessor.process(evalTextOf(text)).keep
     }
 
     val truth = PageTruth(id, lang, defect, expectedKeep, nPii)

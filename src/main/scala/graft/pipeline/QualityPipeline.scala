@@ -34,10 +34,18 @@ object QualityPipeline {
   /** pages(url, warc_ts, html, text, lang) → output rows (SURVEY §1.4). */
   def apply(pages: DataFrame): DataFrame = {
     pages
-      // P1 branch: rows with text go straight through; html-only rows are
-      // extracted. Rows with neither are dropped (S2 validation analog).
+      // S2 validation analog FIRST, on source columns only — keeps the
+      // (expensive) html extraction out of the pushed-down filter, which
+      // would otherwise evaluate graft_html_text twice per html row
+      .filter(col("text").isNotNull || col("html").isNotNull)
+      // P1 branch, matching the reference predicate exactly: blank text
+      // (empty or whitespace) routes to extraction when html exists —
+      // present-but-blank text fields are common on real crawl data
       .withColumn("raw_text",
-        coalesce(col("text"), html_text(col("html"))))
+        when(col("text").isNotNull && length(trim(col("text"))) > 0,
+          col("text"))
+          .otherwise(when(col("html").isNotNull, html_text(col("html")))
+            .otherwise(col("text"))))
       .filter(col("raw_text").isNotNull)
       .withColumn("p", page_process(col("raw_text")))
       .select(
@@ -55,7 +63,11 @@ object QualityPipeline {
         col("p.rule_lineage").as("rule_lineage"),
         col("p.error").as("error"),
         to_date(col("warc_ts")).as("part_date"),
-        pmod(xxhash64(regexp_extract(col("url"), "^https?://([^/]+)", 1)),
+        // host for salting: any scheme, case-insensitive; URLs with no
+        // extractable host hash the whole URL instead of all collapsing
+        // into the hash('') bucket (a recreated hot partition otherwise)
+        pmod(xxhash64(coalesce(nullif(regexp_extract(col("url"),
+          "(?i)^[a-z][a-z0-9+.-]*://([^/]+)", 1), lit("")), col("url"))),
           lit(64)).cast("int").as("host_bucket"))
   }
 }

@@ -88,6 +88,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(processed.filter(col("extracted_text").contains("track(")).count() == 0L)
   }
 
+  test("blank text + html routes to extraction; host_bucket never " +
+      "collapses hostless urls (regression)") {
+    import spark.implicits._
+    val html = "<html><body>" + (1 to 60).map(i =>
+      s"<p>the quick brown fox number $i jumps over the lazy dog today.</p>")
+      .mkString + "</body></html>"
+    val rows = Seq(
+      // present-but-blank text with real html: MUST extract, not score ''
+      ("https://a.example/1", new java.sql.Timestamp(0L),
+        Some(html.getBytes("UTF-8")), Some("   "), "en"),
+      // no extractable host: must not hash to the '' bucket of others
+      ("HTTP://UPPER.example/2", new java.sql.Timestamp(0L),
+        None: Option[Array[Byte]], Some("plain text body here"), "en"),
+      ("not-a-url-at-all", new java.sql.Timestamp(0L),
+        None: Option[Array[Byte]], Some("plain text body here"), "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val byUrl = QualityPipeline(rows)
+      .select("url", "extracted_text", "host_bucket")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getInt(2)))
+      .toMap
+    assert(byUrl("https://a.example/1")._1.contains("quick brown fox"),
+      "blank text must route to html extraction")
+    // uppercase scheme extracts a host; pure junk hashes the whole url —
+    // neither may equal the empty-string hash bucket
+    val emptyBucket = math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(""),
+        org.apache.spark.sql.types.StringType, 42L), 64L).toInt
+    assert(byUrl("HTTP://UPPER.example/2")._2 != emptyBucket)
+    assert(byUrl("not-a-url-at-all")._2 != emptyBucket)
+  }
+
   test("lineage: rule_lineage carries every rule with value + threshold") {
     val row = out.filter(col("keep")).select(col("rule_lineage")).head()
     val rules = row.getSeq[org.apache.spark.sql.Row](0)
