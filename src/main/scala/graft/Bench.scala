@@ -21,8 +21,16 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology: one throwaway full-parallelism warmup session (32-way JIT
   * warmth measured necessary — without it the first high-parallelism run
-  * reads ~3x slow), then per level one warmup pass + best-of-2 timed
-  * passes; scan → pipeline → noop write (forces all columns, no collect).
+  * reads ~3x slow), then the levels are run INTERLEAVED round-robin over
+  * several cycles (4-8-16-32, 4-8-16-32, …) and each efficiency pair is
+  * computed within its own cycle, reporting the median pair across cycles
+  * plus the per-cycle spread. Rationale (round-2 verdict): the host is a
+  * shared VM with minutes-scale noise windows (hypervisor steal, ±15%);
+  * measuring each level in one sequential block let a single noisy window
+  * skew one level and produce a physically impossible superlinear pair.
+  * Interleaving puts every level inside every noise window, and the
+  * median of per-cycle ratios is robust to one bad cycle. Per pass:
+  * scan → pipeline → noop write (forces all columns, no collect).
   */
 object Bench {
 
@@ -78,36 +86,58 @@ object Bench {
       s.stop()
     }
 
-    // 3. timed pipeline at each parallelism level (same input, hot JVM)
+    // 3. timed pipeline at each parallelism level, INTERLEAVED round-robin
+    //    across cycles (same input, hot JVM; see methodology above)
+    val levels = Seq(4, 8, 16, 32)
+    val cycles = sys.env.get("SPARK_GRAFT_BENCH_CYCLES").map(_.toInt).getOrElse(4)
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val times = scala.collection.mutable.LinkedHashMap[Int, Double]()
+    // cycleTimes(level) = one timed pass per cycle, in cycle order
+    val cycleTimes = levels.map(l => l ->
+      scala.collection.mutable.ArrayBuffer[Double]()).toMap
     val steals = scala.collection.mutable.LinkedHashMap[Int, Long]()
-    Seq(4, 8, 16, 32).foreach { level =>
-      val s = session(level)
-      s.sparkContext.setLogLevel("WARN")
-      runPipeline(s, pagesPath) // per-session warmup
-      val stage0 = graft.core.StageTimers.snapshot()
-      val st0 = stealJiffies
-      // best-of-N vs host noise (shared VM): the scaling-efficiency RATIO
-      // is what the north rule reads, so each level gets enough passes
-      // that one noisy sample cannot skew it
-      val passes = if (level == 4) 3 else 5
-      val t = (1 to passes).map(_ => runPipeline(s, pagesPath)).min
-      steals(level) = stealJiffies - st0
-      times(level) = t
-      results(s"pipeline_local$level") = t
-      if (level == 32) {
-        // per-stage CPU profile across the timed passes (BASELINE.json:
-        // per-stage metrics) — core-seconds per stage and us/doc
-        val (stageNanos, nDocs) = graft.core.StageTimers.delta(stage0,
-          graft.core.StageTimers.snapshot())
-        graft.core.StageTimers.stages.foreach { st =>
-          results(s"stage_${st}_us_per_doc") =
-            if (nDocs == 0) 0.0 else stageNanos(st) / 1e3 / nDocs
+    levels.foreach(l => steals(l) = 0L)
+    var stage32Nanos = Map.empty[String, Long]
+    var stage32Docs = 0L
+    (1 to cycles).foreach { cycle =>
+      levels.foreach { level =>
+        val s = session(level)
+        s.sparkContext.setLogLevel("WARN")
+        if (cycle == 1) runPipeline(s, pagesPath) // per-session first warmup
+        val stage0 = graft.core.StageTimers.snapshot()
+        val st0 = stealJiffies
+        val t = runPipeline(s, pagesPath)
+        steals(level) += stealJiffies - st0
+        cycleTimes(level) += t
+        if (level == 32) {
+          // per-stage CPU profile accumulated over all level-32 timed
+          // passes (BASELINE.json per-stage metrics) — us/doc
+          val (stageNanos, nDocs) = graft.core.StageTimers.delta(stage0,
+            graft.core.StageTimers.snapshot())
+          stage32Nanos = graft.core.StageTimers.stages.map(st =>
+            st -> (stage32Nanos.getOrElse(st, 0L) + stageNanos(st))).toMap
+          stage32Docs += nDocs
         }
+        s.stop()
       }
-      s.stop()
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    // headline per-level time = median across cycles
+    val times = levels.map(l => l -> median(cycleTimes(l).toSeq)).toMap
+    levels.foreach(l => results(s"pipeline_local$l") = times(l))
+    graft.core.StageTimers.stages.foreach { st =>
+      results(s"stage_${st}_us_per_doc") =
+        if (stage32Docs == 0) 0.0
+        else stage32Nanos.getOrElse(st, 0L) / 1e3 / stage32Docs
+    }
+    // efficiency pairs computed WITHIN each cycle, then median + spread
+    def effCycle(c: Int, n: Int, n4: Int): Double =
+      (cycleTimes(n)(c) * n) / (cycleTimes(n4)(c) * n4)
+    val eff416 = (0 until cycles).map(effCycle(_, 4, 16))
+    val eff832 = (0 until cycles).map(effCycle(_, 8, 32))
 
     // 4. headline per-operator queries at full parallelism on sfDir
     locally {
@@ -136,13 +166,14 @@ object Bench {
       s.stop()
     }
 
-    def eff(n: Int, n4: Int): Double = (times(n) * n) / (times(n4) * n4)
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val dps = Seq(4, 8, 16, 32).map(l =>
+    val dps = levels.map(l =>
       f""""docs_per_sec_local$l":${BenchDocs / times(l)}%.1f""").mkString(",")
+    def arr(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"pipeline_e2e_local32","value":${times(32)}%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_docs":$BenchDocs,$dps,"scaling_efficiency_4_to_16":${eff(4, 16)}%.3f,"scaling_efficiency_8_to_32":${eff(8, 32)}%.3f,"steal_jiffies_local16":${steals(16)},"steal_jiffies_local32":${steals(32)}}"""
+      f"""{"metric":"pipeline_e2e_local32","value":${times(32)}%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_docs":$BenchDocs,$dps,"scaling_efficiency_4_to_16":${median(eff416)}%.3f,"scaling_efficiency_8_to_32":${median(eff832)}%.3f,"eff_4_to_16_cycles":${arr(eff416)},"eff_8_to_32_cycles":${arr(eff832)},"bench_cycles":$cycles,"steal_jiffies_local16":${steals(16)},"steal_jiffies_local32":${steals(32)}}"""
     // stdout (bare — build.sbt sets StdoutOutput so sbt adds no prefix)
     // plus a file copy in case any wrapper still decorates stdout
     println(line)

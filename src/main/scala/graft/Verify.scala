@@ -15,6 +15,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+
+    // Side-channel ORACLE INPUTS (not query dumps — kept outside outDir so
+    // the driver's per-query compare never sees them): the generator truth
+    // table (labels exact by construction) and the trained IVF codebook.
+    // Absolute path baked into the SQL so the driver's DuckDB cwd is
+    // irrelevant.
+    val auxDir = new java.io.File("target/verify_aux").getAbsolutePath
+    graft.model.PagesSynth.truthTable(spark, SparkEntry.synthN(sfDir), 16)
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/pipeline_truth")
+    locally {
+      import spark.implicits._
+      SparkEntry.ivfCentroids(spark, sfDir).zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }.toDF("cent_id", "cent")
+        .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/ivf_centroids")
+    }
+
     SparkEntry.queries.foreach { case (name, fn) =>
       // delete any stale dump FIRST: a failing query must show up as a
       // missing result, not silently pass the compare against the parquet
@@ -44,7 +60,9 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(SparkEntry.AuxDirToken, auxDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

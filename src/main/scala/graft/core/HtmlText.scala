@@ -4,9 +4,11 @@ package graft.core
   * only (the graft analog of the reference's image-PDF → OCR branch,
   * backend/pdf/PDFRedactor.py:73-81: cheap predicate gates the expensive
   * extract). Single pass, no external parser: drops <script>/<style>
-  * subtrees, strips tags, decodes the common entities. The output feeds
-  * the same tokenizer contract, so extracted text is byte-deterministic
-  * per input (BASELINE.json input_hint invariant).
+  * subtrees, skips <!-- comments -->, passes <![CDATA[...]]> content
+  * through raw, strips tags (quote-aware, so '>' inside an attribute
+  * value does not end the tag), and decodes the common entities. The
+  * output feeds the same tokenizer contract, so extracted text is
+  * byte-deterministic per input (BASELINE.json input_hint invariant).
   */
 object HtmlText {
 
@@ -25,24 +27,50 @@ object HtmlText {
     while (i < n) {
       val c = html.charAt(i)
       if (c == '<') {
-        val close = html.indexOf('>', i + 1)
-        if (close < 0) { i = n } // truncated tag: drop remainder
-        else {
-          val tag = html.substring(i + 1, close).trim.toLowerCase(java.util.Locale.ROOT)
-          val name = tag.takeWhile(ch => ch.isLetter)
-          if (name == "script" || name == "style") {
-            val end = lower.indexOf(s"</$name", close)
-            i = if (end < 0) n else {
-              val e2 = html.indexOf('>', end)
-              if (e2 < 0) n else e2 + 1
+        if (html.startsWith("<!--", i)) {
+          // comments carry no text and may contain '>' / '<' freely —
+          // skip the whole construct (truncated comment drops remainder)
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (html.startsWith("<![CDATA[", i)) {
+          // CDATA is character data: emit the raw content (no entity
+          // decoding, per spec), skip the wrapper
+          val end = html.indexOf("]]>", i + 9)
+          val stop = if (end < 0) n else end
+          sb.append(html, i + 9, stop)
+          i = if (end < 0) n else end + 3
+        } else {
+          // tag close respects quoted attribute values: '>' inside
+          // title="a>b" does not end the tag
+          var j = i + 1
+          var quote: Char = 0
+          var close = -1
+          while (j < n && close < 0) {
+            val cj = html.charAt(j)
+            if (quote != 0) { if (cj == quote) quote = 0 }
+            else if (cj == '"' || cj == '\'') quote = cj
+            else if (cj == '>') close = j
+            j += 1
+          }
+          if (close < 0) { i = n } // truncated tag: drop remainder
+          else {
+            val tag = html.substring(i + 1, close).trim
+              .toLowerCase(java.util.Locale.ROOT)
+            val name = tag.takeWhile(ch => ch.isLetter)
+            if (name == "script" || name == "style") {
+              val end = lower.indexOf(s"</$name", close)
+              i = if (end < 0) n else {
+                val e2 = html.indexOf('>', end)
+                if (e2 < 0) n else e2 + 1
+              }
+            } else {
+              // block-ish tags become line breaks so line rules still work
+              if (name == "p" || name == "br" || name == "div" || name == "li" ||
+                  name == "tr" || (name.length == 2 && name(0) == 'h' &&
+                  name(1).isDigit)) sb.append('\n')
+              else sb.append(' ')
+              i = close + 1
             }
-          } else {
-            // block-ish tags become line breaks so line rules still work
-            if (name == "p" || name == "br" || name == "div" || name == "li" ||
-                name == "tr" || (name.length == 2 && name(0) == 'h' &&
-                name(1).isDigit)) sb.append('\n')
-            else sb.append(' ')
-            i = close + 1
           }
         }
       } else if (c == '&') {

@@ -262,11 +262,14 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "graft_cosine"
 }
 
-/** `graft_shingles(text)` — distinct 3-word shingle strings (single-space
-  * word split, lowercased, first-occurrence order) — the native form of
-  * the HOF pyramid `array_distinct(transform(sequence(...), slice/concat))`
-  * whose interpreted evaluation dominates the Jaccard dedup stage. String
-  * semantics are identical to the SQL formulation the DuckDB oracle runs. */
+/** `graft_shingles(text)` — distinct 3-word shingle strings (whitespace
+  * word split — the same `Character.isWhitespace` contract as
+  * [[graft.core.Tokenizer.words]] and [[graft.core.Dedup.shingles]], so
+  * the LSH banding stage and this confirmation stage agree on multi-line
+  * text — lowercased, first-occurrence order). Native form of the HOF
+  * pyramid `array_distinct(transform(sequence(...), slice/concat))` whose
+  * interpreted evaluation dominates the Jaccard dedup stage. The DuckDB
+  * oracle mirrors via `regexp_split_to_array(text, '\s+')`. */
 case class ShingleExpr(child: Expression) extends StringKernelExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(v: Any): Any = {
@@ -275,9 +278,9 @@ case class ShingleExpr(child: Expression) extends StringKernelExpression {
     var i = 0
     val n = text.length
     while (i < n) {
-      while (i < n && text.charAt(i) == ' ') i += 1
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
       val w0 = i
-      while (i < n && text.charAt(i) != ' ') i += 1
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
       if (i > w0)
         words += text.substring(w0, i).toLowerCase(java.util.Locale.ROOT)
     }
@@ -424,6 +427,19 @@ case class IvfAssign(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): IvfAssign =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_ivf_assign"
+}
+
+/** `graft_bpe_count(text)` — token count under the trained BPE merge
+  * table (whitespace words, lowercased, [[graft.core.Bpe]] merges;
+  * BIGINT). The merge table is a JVM singleton trained deterministically
+  * from SeedCorpus, and the DuckDB oracle re-applies the identical merges
+  * as a literal replace chain ([[graft.core.Bpe.tokenCountSql]]). */
+case class BpeCount(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Bpe.countText(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): BpeCount = copy(c)
+  override def prettyName: String = "graft_bpe_count"
 }
 
 /** `graft_fingerprint(text)` — rolling-hash document fingerprint (BIGINT). */

@@ -32,7 +32,8 @@ object GraftFunctions {
     "graft_simhash" -> { es => SimHashExpr(es.head) },
     "graft_fingerprint" -> { es => FingerprintExpr(es.head) },
     "graft_lsh_project" -> { es => LshProject(es.head) },
-    "graft_ivf_assign" -> { es => IvfAssign(es(0), es(1)) })
+    "graft_ivf_assign" -> { es => IvfAssign(es(0), es(1)) },
+    "graft_bpe_count" -> { es => BpeCount(es.head) })
 
   /** Register on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =
@@ -61,6 +62,7 @@ object GraftFunctions {
   def lsh_project(c: Column): Column = Shim.column(LshProject(Shim.expression(c)))
   def ivf_assign(emb: Column, cents: Column): Column =
     Shim.column(IvfAssign(Shim.expression(emb), Shim.expression(cents)))
+  def bpe_count(c: Column): Column = Shim.column(BpeCount(Shim.expression(c)))
 }
 
 /** `SparkSessionExtensions` hook: build sessions with

@@ -57,11 +57,19 @@ object CheckpointedRun {
     * source per partition = P full scans, a non-starter at 100 TB.
     * Resume reuses the staged copy (it is keyed by run id and committed
     * via Spark's _SUCCESS marker before any partition starts).
+    *
+    * Zero-copy mode: when the input ALREADY lives in the staged layout —
+    * a `_bucket=<k>` Hive-partitioned parquet keyed by the same
+    * pmod(xxhash64(key), P) (e.g. the previous pipeline stage wrote it
+    * bucketed) — pass it as `prebucketed` and the staging rewrite is
+    * skipped entirely: at 100 TB the staging pass doubles IO for nothing.
+    * Per-partition reads prune to one `_bucket` directory either way.
     */
   def run(spark: SparkSession, input: DataFrame, keyCol: String,
           transform: DataFrame => DataFrame, root: String, runId: String,
           numPartitions: Int = 8,
-          failAfter: Int = Int.MaxValue): Seq[PartitionResult] = {
+          failAfter: Int = Int.MaxValue,
+          prebucketed: Option[String] = None): Seq[PartitionResult] = {
     Files.createDirectories(progressDir(root, runId))
     val done = completedPartitions(root, runId)
 
@@ -80,14 +88,34 @@ object CheckpointedRun {
         numPartitions.toString.getBytes(StandardCharsets.UTF_8))
     }
 
-    val stagedPath = Paths.get(root, "_staged", s"run=$runId").toString
-    if (!Files.exists(Paths.get(stagedPath, "_SUCCESS"))) {
-      input
-        .withColumn("_bucket",
-          pmod(xxhash64(col(keyCol)), lit(numPartitions)))
-        .write.mode("overwrite").partitionBy("_bucket").parquet(stagedPath)
+    val staged = prebucketed match {
+      case Some(path) =>
+        // zero-copy: trust-but-verify the layout — the bucket scheme is
+        // part of the run's identity, so a wrong-P input must fail loudly
+        // here, not silently route rows to the wrong resume partitions
+        require(Files.exists(Paths.get(path, "_bucket=0")) ||
+          (0 until numPartitions).exists(k =>
+            Files.exists(Paths.get(path, s"_bucket=$k"))),
+          s"prebucketed input at $path has no _bucket=<k> directories")
+        val maxBucket = Files.list(Paths.get(path)).iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case s if s.startsWith("_bucket=") =>
+            s.stripPrefix("_bucket=").toInt }
+          .maxOption.getOrElse(-1)
+        require(maxBucket < numPartitions,
+          s"prebucketed input at $path has _bucket=$maxBucket >= " +
+            s"numPartitions=$numPartitions — bucket scheme mismatch")
+        spark.read.parquet(path)
+      case None =>
+        val stagedPath = Paths.get(root, "_staged", s"run=$runId").toString
+        if (!Files.exists(Paths.get(stagedPath, "_SUCCESS"))) {
+          input
+            .withColumn("_bucket",
+              pmod(xxhash64(col(keyCol)), lit(numPartitions)))
+            .write.mode("overwrite").partitionBy("_bucket").parquet(stagedPath)
+        }
+        spark.read.parquet(stagedPath)
     }
-    val staged = spark.read.parquet(stagedPath)
 
     var fresh = 0
     (0 until numPartitions).map { k =>

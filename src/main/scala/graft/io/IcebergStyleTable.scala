@@ -49,6 +49,22 @@ object IcebergStyleTable {
   private def dataDir(root: String): Path = Paths.get(root, "data")
   private def genName(version: Int): String = s"g$version"
 
+  /** Atomically claim version `version` for this committer. Two concurrent
+    * writers that both read currentVersion = N-1 would otherwise write the
+    * same generation dir (mode overwrite) and the last hint flip would
+    * silently discard the other's commit — the compare-and-swap here makes
+    * the loser fail loudly instead. `Files.createFile` is atomic on POSIX
+    * (O_CREAT|O_EXCL); on a real object store this maps to a conditional
+    * PUT / metastore CAS. */
+  private def claimVersion(root: String, version: Int): Unit =
+    try Files.createFile(metaDir(root).resolve(s"claim-$version"))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot version $version at $root is already claimed by " +
+            "another committer; re-read currentVersion and retry")
+    }
+
   def currentVersion(root: String): Int = {
     val hint = metaDir(root).resolve("version-hint.text")
     if (Files.exists(hint))
@@ -136,6 +152,7 @@ object IcebergStyleTable {
              shufflePartitions: Int = 32): Snapshot = {
     Files.createDirectories(metaDir(root))
     val version = currentVersion(root) + 1
+    claimVersion(root, version)
 
     val salted = df.repartition(shufflePartitions,
       (partitionCols.map(col) :+
@@ -188,6 +205,7 @@ object IcebergStyleTable {
               filesPerPartitionDir: Int = 1): Snapshot = {
     val current = read(spark, root)
     val version = currentVersion(root) + 1
+    claimVersion(root, version)
     val liveGens = manifest(root, version - 1)
       .map(f => f.takeWhile(_ != '/')).distinct
 

@@ -16,10 +16,22 @@ final case class PageRow(url: String, warc_ts: Timestamp,
                          lang: String)
 
 /** Generator ground truth for a page: intent labels for the F1 gate
-  * (FIXTURES.md §2) — planted defect (or "none"), expected keep/drop, and
-  * the number of planted PII strings. */
+  * (FIXTURES.md §2) — planted defect (or "none"), expected keep/drop, the
+  * number of planted PII strings, and whether the generation-time
+  * validation loop succeeded (`validatedOk = true` additionally guarantees
+  * for clean docs: predicted lang == intended lang, conf >= LangConfMin,
+  * and perplexity <= 0.8 * PerplexityMax — the strict generator gate). */
 final case class PageTruth(id: Long, lang: String, defect: String,
-                           expectedKeep: Boolean, nPii: Int)
+                           expectedKeep: Boolean, nPii: Int,
+                           validatedOk: Boolean)
+
+/** Truth row keyed by url — the dumpable form the DuckDB oracle reads
+  * (labels are exact by construction, so `expected_keep` IS the oracle for
+  * the pipeline's keep decision and `lang` for clean validated docs IS the
+  * oracle for langid). */
+final case class PageTruthRow(url: String, lang: String, defect: String,
+                              expected_keep: Boolean, n_pii: Long,
+                              validated_ok: Boolean)
 
 /** Deterministic synthetic pages table (seed 42, no wall clock, no
   * external data; SURVEY §7.1 step 1).
@@ -224,6 +236,7 @@ object PagesSynth {
 
     var text = attemptText(0)
     var expectedKeep = defect == "none"
+    var validatedOk = false
     if (validated) {
       // validate: retry until the generated text realizes the INTENT
       // (clean -> keep, defect -> drop). html-only rows are validated on
@@ -263,9 +276,10 @@ object PagesSynth {
         // the final text (not the stricter generator gate, which would
         // call a pipeline-keepable marginal doc a drop)
         else DocProcessor.process(evalTextOf(text)).keep
+      validatedOk = ok
     }
 
-    val truth = PageTruth(id, lang, defect, expectedKeep, nPii)
+    val truth = PageTruth(id, lang, defect, expectedKeep, nPii, validatedOk)
     val row =
       if (htmlOnly)
         PageRow(s"https://$host/page/$id", ts,
@@ -295,6 +309,22 @@ object PagesSynth {
     import spark.implicits._
     spark.range(0, n, 1, numPartitions).as[Long]
       .mapPartitions(_.map(truth))
+      .toDF()
+  }
+
+  /** Url-keyed truth table — the dumpable oracle companion: the DuckDB
+    * side reads this parquet and the construction-exact labels become the
+    * expected values for the pipeline's keep / langid / perplexity gates
+    * (see [[PageTruthRow]]). */
+  def truthTable(spark: SparkSession, n: Long,
+                 numPartitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, numPartitions).as[Long]
+      .mapPartitions(_.map { id =>
+        val (t, r) = generate(id)
+        PageTruthRow(r.url, t.lang, t.defect, t.expectedKeep, t.nPii.toLong,
+          t.validatedOk)
+      })
       .toDF()
   }
 }

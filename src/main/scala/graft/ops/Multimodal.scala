@@ -35,15 +35,20 @@ trait MediaDecoder extends Serializable {
 
 /** Deterministic stand-in decoder (STUB — see class docs; a real decoder
   * would parse the container/codec here). Metadata is a pure function of
-  * the bytes, so tests and byte-identical-output checks hold. */
+  * the bytes, so tests and byte-identical-output checks hold.
+  *
+  * The fake dims derive from four plain scalars of the UTF-8 decode of
+  * the blob — byte length, code-point length, first / last code point —
+  * in straight-line 64-bit arithmetic, so the DuckDB oracle recomputes
+  * them from the source text exactly (a round-1/2 version used an
+  * iterated FNV mix whose Long overflow DuckDB's checked integers
+  * reject; the point of the stub is the batch plumbing, not hash
+  * strength). Scalars agree with DuckDB for BMP text (`length(text)` =
+  * code points). */
 object StubDecoder extends MediaDecoder {
-  private def mix(x: Long): Long = {
-    var z = x ^ 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
 
+  /** FNV-1a over raw bytes — kept for the content_hash column (dedup /
+    * identity use; sbt-tested, not part of the oracle dump). */
   def contentHash(blob: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
@@ -56,12 +61,16 @@ object StubDecoder extends MediaDecoder {
 
   override def decodeBatch(blobs: Seq[Array[Byte]]): Seq[(Int, Int, Int, Int)] =
     blobs.map { b =>
-      val h = mix(contentHash(b))
+      val s = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      val olen = b.length.toLong
+      val clen = s.codePointCount(0, s.length).toLong
+      val first = if (s.isEmpty) 0L else s.codePointAt(0).toLong
+      val last = if (s.isEmpty) 0L else s.codePointBefore(s.length).toLong
       // fake-but-plausible media dims; a real decoder replaces this body
-      val width = 160 + ((h & 0x7fffffffL) % 1760).toInt
-      val height = 90 + (((h >>> 16) & 0x7fffffffL) % 990).toInt
-      val channels = 1 + ((h >>> 32) % 3).toInt.abs
-      val durationMs = 1000 + (((h >>> 40) & 0x7fffffffL) % 59000).toInt
+      val width = (160L + (olen * 7919L + first * 131L) % 1760L).toInt
+      val height = (90L + (clen * 104729L + last * 137L) % 990L).toInt
+      val channels = (1L + (olen + first + last) % 3L).toInt
+      val durationMs = (1000L + (olen * 2654435761L + clen * 40503L) % 59000L).toInt
       (width, height, channels, durationMs)
     }
 }

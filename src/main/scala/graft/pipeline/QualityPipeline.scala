@@ -40,9 +40,13 @@ object QualityPipeline {
       .filter(col("text").isNotNull || col("html").isNotNull)
       // P1 branch, matching the reference predicate exactly: blank text
       // (empty or whitespace) routes to extraction when html exists —
-      // present-but-blank text fields are common on real crawl data
+      // present-but-blank text fields are common on real crawl data.
+      // "whitespace" = the reference's str.strip() (ALL whitespace, not
+      // just 0x20 — plain trim() would score a "\n\t" doc instead of
+      // routing it), expressed as a \s-run strip
       .withColumn("raw_text",
-        when(col("text").isNotNull && length(trim(col("text"))) > 0,
+        when(col("text").isNotNull &&
+          length(regexp_replace(col("text"), "^\\s+|\\s+$", "")) > 0,
           col("text"))
           .otherwise(when(col("html").isNotNull, html_text(col("html")))
             .otherwise(col("text"))))

@@ -20,13 +20,30 @@ object StreamingQuality {
 
   /** Emits exactly the rows whose (url, content fingerprint) was not seen
     * before — neither in any earlier micro-batch nor earlier in the same
-    * batch. State: the SET of fingerprints seen per URL (so content
+    * batch. State: the set of fingerprints seen per URL (so content
     * alternating A→B→A is emitted twice, not three times, and two distinct
-    * fresh fingerprints in one batch both pass). TTL is the caller's
-    * checkpoint retention (a production run bounds the set and expires
-    * keys with `GroupStateTimeout`).
+    * fresh fingerprints in one batch both pass).
+    *
+    * State is BOUNDED in both dimensions — at crawl scale (10^9 URLs) an
+    * unbounded first-seen map is the one structure that grows without
+    * limit, so the bounds are in code, not left to callers:
+    *
+    *   - per key: at most `maxFingerprints` fingerprints, oldest-first
+    *     eviction (newest-N; an evicted fingerprint that re-appears is
+    *     re-emitted — the standard recall trade-off of bounded dedup);
+    *   - across keys: `ProcessingTimeTimeout` of `ttl` — a URL not crawled
+    *     within the TTL has its state dropped at the next micro-batch, and
+    *     a later re-crawl is treated as first-seen again.
+    *
+    * Trigger note: with `ProcessingTimeTimeout`,
+    * `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` always requests a
+    * follow-up batch (processing time always advances), so
+    * `Trigger.AvailableNow` appends timeout-draining no-data batches and
+    * terminates slowly; drive catch-up runs with `Trigger.Once` (one
+    * batch) and continuous runs with a processing-time trigger.
     */
-  def dedupFirstSeen(pages: DataFrame): Dataset[(String, String)] = {
+  def dedupFirstSeen(pages: DataFrame, ttl: String = "24 hours",
+                     maxFingerprints: Int = 1024): Dataset[(String, String)] = {
     implicit val strEnc = Encoders.STRING
     implicit val enc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
     implicit val stEnc = Encoders.product[SeenState]
@@ -38,18 +55,29 @@ object StreamingQuality {
       .as[(String, String, Long)]
       .groupByKey(_._1)
     keyed.flatMapGroupsWithState(
-      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
       (url: String, rows: Iterator[(String, String, Long)],
        state: GroupState[SeenState]) =>
-        val seen = scala.collection.mutable.LinkedHashSet[Long](
-          state.getOption.map(_.seenFingerprints).getOrElse(Seq.empty): _*)
-        val out = Vector.newBuilder[(String, String)]
-        rows.foreach { case (u, t, fp) =>
-          if (seen.add(fp)) out += ((u, t)) // first occurrence ever wins
+        if (state.hasTimedOut) {
+          // TTL expiry: drop the key's state entirely; a later re-crawl of
+          // this URL re-enters as first-seen (asserted in StreamingSpec)
+          state.remove()
+          Iterator.empty
+        } else {
+          val seen = scala.collection.mutable.LinkedHashSet[Long](
+            state.getOption.map(_.seenFingerprints).getOrElse(Seq.empty): _*)
+          val out = Vector.newBuilder[(String, String)]
+          rows.foreach { case (u, t, fp) =>
+            if (seen.add(fp)) out += ((u, t)) // first occurrence ever wins
+          }
+          // newest-N cap: evict oldest insertion first (LinkedHashSet
+          // preserves insertion order, so head is the oldest)
+          while (seen.size > maxFingerprints) seen.remove(seen.head)
+          val fresh = out.result()
+          state.update(SeenState(seen.toSeq))
+          state.setTimeoutDuration(ttl)
+          fresh.iterator
         }
-        val fresh = out.result()
-        if (fresh.nonEmpty) state.update(SeenState(seen.toSeq))
-        fresh.iterator
     }
   }
 }

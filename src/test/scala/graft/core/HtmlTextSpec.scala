@@ -20,6 +20,31 @@ class HtmlTextSpec extends AnyFunSuite {
     assert(out.linesIterator.exists(_.trim == "Tom & Jerry <3"))
   }
 
+  test("quoted attribute values containing '>' do not end the tag") {
+    val html = "<body><a title=\"a>b\" href='x>y'>link text</a> tail</body>"
+    val out = HtmlText.extract(html)
+    assert(out.contains("link text"))
+    assert(out.contains("tail"))
+    assert(!out.contains("b\""), out) // the attribute remainder is not text
+    assert(!out.contains("href"), out)
+  }
+
+  test("comments are skipped entirely, including embedded '>' and tags") {
+    val html = "<p>before</p><!-- a > b <p>not text</p> --><p>after</p>" +
+      "<!-- truncated comment swallows the rest <p>gone</p>"
+    val out = HtmlText.extract(html)
+    assert(out.contains("before") && out.contains("after"))
+    assert(!out.contains("not text") && !out.contains("a > b"))
+    assert(!out.contains("gone"))
+  }
+
+  test("CDATA content passes through raw (no entity decode, no tag strip)") {
+    val html = "<p>x</p><![CDATA[raw &amp; <p>literal</p>]]><p>y</p>"
+    val out = HtmlText.extract(html)
+    assert(out.contains("raw &amp; <p>literal</p>"), out)
+    assert(out.contains("x") && out.contains("y"))
+  }
+
   test("script-heavy page extracts in linear time (regression)") {
     // 20k script tags; the old per-tag toLowerCase of the whole document
     // made this quadratic (~minutes). Budget is generous vs the ~100ms a

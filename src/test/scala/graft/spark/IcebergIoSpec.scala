@@ -115,6 +115,55 @@ class IcebergIoSpec extends AnyFunSuite {
       prunedPlan.contains("_bucket"), prunedPlan.take(1500))
   }
 
+  test("concurrent committers: the second writer of the same version fails " +
+      "loudly instead of silently discarding the first") {
+    val root = tmpDir("cas")
+    val df = QualityPipeline(PagesSynth.pages(spark, 100, 2))
+    IcebergStyleTable.append(df, root, Seq("part_date"), "url", 8, 2)
+    // another committer has read currentVersion=1 and claimed version 2
+    // but not yet flipped the hint — this committer must NOT also write v2
+    Files.createFile(Paths.get(root, "metadata", "claim-2"))
+    intercept[java.util.ConcurrentModificationException] {
+      IcebergStyleTable.append(df, root, Seq("part_date"), "url", 8, 2)
+    }
+    // table is unchanged and still readable at version 1
+    assert(IcebergStyleTable.currentVersion(root) == 1)
+    assert(IcebergStyleTable.read(spark, root).count() == 100)
+  }
+
+  test("zero-copy resume mode: prebucketed input skips the staging " +
+      "rewrite and matches the staged-mode output byte-for-byte") {
+    val input = PagesSynth.pages(spark, 200, 4)
+    val transform = (df: org.apache.spark.sql.DataFrame) => QualityPipeline(df)
+    // pre-bucket exactly as a previous pipeline stage would have
+    val pre = tmpDir("prebucketed")
+    input.withColumn("_bucket", pmod(xxhash64(col("url")), lit(8)))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(pre)
+
+    val root = tmpDir("zerocopy")
+    val res = CheckpointedRun.run(spark, input, "url", transform, root, "z1",
+      numPartitions = 8, prebucketed = Some(pre))
+    assert(res.count(!_.skipped) == 8)
+    // the whole point: NO staging rewrite happened
+    assert(!Files.exists(Paths.get(root, "_staged")))
+
+    val rootB = tmpDir("zerocopyB")
+    CheckpointedRun.run(spark, input, "url", transform, rootB, "z2",
+      numPartitions = 8)
+    val a = CheckpointedRun.output(spark, root, "z1")
+      .select("url", "scrubbed_text", "keep", "perplexity")
+    val b = CheckpointedRun.output(spark, rootB, "z2")
+      .select("url", "scrubbed_text", "keep", "perplexity")
+    assert(a.count() == 200)
+    assert(a.exceptAll(b).count() == 0L && b.exceptAll(a).count() == 0L)
+
+    // a bucket-scheme mismatch must fail loudly, not misroute rows
+    intercept[IllegalArgumentException] {
+      CheckpointedRun.run(spark, input, "url", transform, tmpDir("zc_bad"),
+        "z3", numPartitions = 4, prebucketed = Some(pre))
+    }
+  }
+
   test("compaction: fewer files, same rows, atomic snapshot flip") {
     val root = tmpDir("compact")
     val df = QualityPipeline(PagesSynth.pages(spark, 400, 4))

@@ -68,6 +68,39 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ConnectedComponents (large-star/small-star) matches brute-force " +
+      "union-find on chains, cliques, a high-degree hub, and pairs") {
+    import spark.implicits._
+    // deterministic graph mixing shapes: a 40-node chain (deep diameter —
+    // the case min-label propagation is slow on), a 12-clique, a hub with
+    // 50 spokes (degree skew), isolated pairs, plus duplicate + reversed
+    // edges for idempotence
+    val chain = (100L until 139L).map(i => (i, i + 1))
+    val clique = for (a <- 200L until 212L; b <- a + 1 until 212L) yield (a, b)
+    val hub = (301L to 350L).map(i => (300L, i))
+    val pairs = Seq((400L, 401L), (402L, 403L))
+    val edges = (chain ++ clique ++ hub ++ pairs ++
+      chain.map(_.swap) ++ Seq((100L, 101L))).toDF("src", "dst")
+    val got = graft.ops.ConnectedComponents.labels(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    (chain ++ clique ++ hub ++ pairs).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, v) => assert(got(k) == v, s"node $k") }
+    // each component labeled by its min member
+    assert(got(139L) == 100L && got(211L) == 200L && got(350L) == 300L &&
+      got(401L) == 400L && got(403L) == 402L)
+  }
+
   test("dedup_embedding_pairs finds exactly the 20 planted twins") {
     val rows = SparkEntry.queries("dedup_embedding_pairs")(spark, dir).collect()
     assert(rows.length == 20)
@@ -126,7 +159,7 @@ class OpsSpec extends AnyFunSuite {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq) // determinism
     a.take(50).foreach { r =>
       assert(r.getAs[Long]("n_bytes") > 0)
-      val d = r.getAs[Int]("duration_ms")
+      val d = r.getAs[Long]("duration_ms").toInt
       // the query output flattens frames to scalars (driver-compare-safe)
       val n = r.getAs[Long]("n_frames")
       val first = r.getAs[Long]("first_offset_ms")

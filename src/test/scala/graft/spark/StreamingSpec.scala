@@ -18,6 +18,18 @@ class StreamingSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
+  /** Await an AvailableNow query's self-termination; on timeout STOP it
+    * before failing — a still-running zombie instance would otherwise race
+    * the next query on the same checkpoint's state store (observed as
+    * failedToCommitStateFileError flakes under full-suite load). */
+  private def awaitDone(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val done = q.awaitTermination(300000)
+    if (!done) {
+      q.stop()
+      fail("streaming query did not terminate within 300s")
+    }
+  }
+
   test("quality pipeline runs unchanged as a streaming query") {
     val dir = Files.createTempDirectory("stream_pages").toString
     val pages = PagesSynth.pages(spark, 200, 4)
@@ -27,7 +39,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = QualityPipeline(stream).writeStream
       .outputMode("append").format("memory").queryName("pipe_stream")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitDone(q)
 
     val streamed = spark.table("pipe_stream")
       .select("url", "scrubbed_text", "keep")
@@ -49,8 +61,14 @@ class StreamingSpec extends AnyFunSuite {
         .writeStream.outputMode("append").format("parquet")
         .option("path", s"$dir/out")
         .option("checkpointLocation", s"$dir/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+        // Trigger.Once, not AvailableNow: with ProcessingTimeTimeout,
+        // FlatMapGroupsWithStateExec.shouldRunAnotherBatch always requests
+        // another batch, so AvailableNow keeps appending timeout-draining
+        // no-data batches and termination is slow/unbounded (measured:
+        // 18 min for this spec). One batch per runOnce is exactly the
+        // semantics these tests drive.
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+      awaitDone(q)
     }
     runOnce()
     assert(spark.read.parquet(s"$dir/out").count() == 50)
@@ -83,8 +101,14 @@ class StreamingSpec extends AnyFunSuite {
         .writeStream.outputMode("append").format("parquet")
         .option("path", s"$dir/out")
         .option("checkpointLocation", s"$dir/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+        // Trigger.Once, not AvailableNow: with ProcessingTimeTimeout,
+        // FlatMapGroupsWithStateExec.shouldRunAnotherBatch always requests
+        // another batch, so AvailableNow keeps appending timeout-draining
+        // no-data batches and termination is slow/unbounded (measured:
+        // 18 min for this spec). One batch per runOnce is exactly the
+        // semantics these tests drive.
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+      awaitDone(q)
     }
     runOnce()
     val out1 = spark.read.parquet(s"$dir/out").as[(String, String)]
@@ -98,6 +122,73 @@ class StreamingSpec extends AnyFunSuite {
     val out2 = spark.read.parquet(s"$dir/out").as[(String, String)]
       .collect().toSet
     assert(out2 == out1 + (("u1", "C")), out2)
+  }
+
+  test("stateful dedup state is bounded: TTL expiry evicts the key and a " +
+      "later re-crawl re-admits") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_dedup_ttl").toString
+    def write(rows: Seq[(String, String)], mode: String): Unit =
+      rows.toDF("url", "text").write.mode(mode).parquet(s"$dir/in")
+    write(Seq(("u1", "A"), ("keepalive", "Z0")), "overwrite")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+      val q = graft.streaming.StreamingQuality
+        .dedupFirstSeen(stream, ttl = "1 second")
+        .toDF("url", "text")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        // Trigger.Once: see the non-termination note in the first dedup test
+        .trigger(Trigger.Once()).start()
+      awaitDone(q)
+    }
+    runOnce()
+    // let u1's 1s processing-time TTL lapse, then run a batch with data
+    // only for OTHER keys — u1 has no data, so its expired timeout fires
+    // and the state is removed
+    Thread.sleep(2500)
+    write(Seq(("keepalive", "Z1")), "append")
+    runOnce()
+    // u1 re-crawls the SAME content A: state was expired, so it re-emits
+    write(Seq(("u1", "A")), "append")
+    runOnce()
+    val u1 = spark.read.parquet(s"$dir/out").as[(String, String)]
+      .collect().toSeq.filter(_._1 == "u1")
+    assert(u1 == Seq(("u1", "A"), ("u1", "A")),
+      s"expected A re-admitted after TTL expiry, got $u1")
+  }
+
+  test("stateful dedup per-key set is capped: oldest fingerprint evicted " +
+      "and re-admitted, newest retained") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_dedup_cap").toString
+    def write(rows: Seq[(String, String)], mode: String): Unit =
+      rows.toDF("url", "text").write.mode(mode).parquet(s"$dir/in")
+    // A then B then C through a cap of 2: C's insert evicts A
+    write(Seq(("u1", "A"), ("u1", "B"), ("u1", "C")), "overwrite")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+      val q = graft.streaming.StreamingQuality
+        .dedupFirstSeen(stream, maxFingerprints = 2)
+        .toDF("url", "text")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        // Trigger.Once: see the non-termination note in the first dedup test
+        .trigger(Trigger.Once()).start()
+      awaitDone(q)
+    }
+    runOnce()
+    // B and C are still in state (deduped); evicted A re-admits
+    write(Seq(("u1", "B"), ("u1", "C"), ("u1", "A")), "append")
+    runOnce()
+    val out = spark.read.parquet(s"$dir/out").as[(String, String)]
+      .collect().toSeq.sortBy(_._2)
+    assert(out == Seq(("u1", "A"), ("u1", "A"), ("u1", "B"), ("u1", "C")),
+      s"expected A re-admitted after cap eviction, got $out")
   }
 
   test("watermarked tumbling-window aggregation over events") {
@@ -115,7 +206,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = agg.writeStream.outputMode("append")
       .format("memory").queryName("ev_stream")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitDone(q)
 
     // append mode emits only closed windows; compare against the batch agg
     // restricted to the same closed windows
