@@ -43,10 +43,12 @@ object QualityPipeline {
       // present-but-blank text fields are common on real crawl data.
       // "whitespace" = the reference's str.strip() (ALL whitespace, not
       // just 0x20 — plain trim() would score a "\n\t" doc instead of
-      // routing it), expressed as a \s-run strip
+      // routing it). Explicit trim char-set, NOT a regexp: this predicate
+      // runs per row on the pipeline hot path and a \s regexp costs
+      // regex-engine scans per document for nothing.
       .withColumn("raw_text",
         when(col("text").isNotNull &&
-          length(regexp_replace(col("text"), "^\\s+|\\s+$", "")) > 0,
+          length(trim(col("text"), " \t\n\r\u000B\f\u0085\u00A0")) > 0,
           col("text"))
           .otherwise(when(col("html").isNotNull, html_text(col("html")))
             .otherwise(col("text"))))
