@@ -54,6 +54,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("connected-components phases: min-aggregation is partial+final " +
+      "(skew-safe), no cartesian/nested-loop anywhere in a phase") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a representative phase plan: star transforms are groupBy(min)+join
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val m = und.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src"), least(col("src"), col("mn")).as("m"))
+    val phase = und.join(m, "src").filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst")).distinct()
+    val p = phase.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the per-node min is partial-aggregated before its exchange — a
+    // high-degree hub costs one agg key, not a reducer-sized buffer
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final min agg\n${p.take(2000)}")
+  }
+
+  test("pipeline: the plan is a single shuffle-free projection over the " +
+      "scan (no Exchange) and the fused kernel appears exactly once") {
+    val pages = graft.model.PagesSynth.pages(spark, 50, 2,
+      validated = false)
+    val p = graft.pipeline.QualityPipeline(pages)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(3000))
+    val fused = p.linesIterator
+      .count(_.contains("graft_page_process"))
+    assert(fused >= 1, p.take(3000))
+  }
+
+  test("text_token_counts: BPE counting is a native expression in the " +
+      "scan projection — no join, no shuffle") {
+    val p = plan("text_token_counts")
+    assert(p.contains("graft_bpe_count"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("events_window/q1_agg: partial aggregation before the shuffle") {
     Seq("events_window", "q1_agg").foreach { q =>
       val p = plan(q)
