@@ -39,17 +39,22 @@ object SparkEntry {
     * way). The codebook is an ORACLE INPUT: Verify dumps it, and the
     * DuckDB side verifies assignment + cell-restricted search GIVEN these
     * centroids (the invariant "assigned cell = argmax cosine over trained
-    * centroids" from the round-2 verdict). */
-  def ivfCentroids(s: SparkSession, dir: String): Seq[Seq[Double]] = {
-    val sample = withFns(s).read.parquet(s"$dir/embeddings.parquet")
-      .filter(col("vec_id") < 512).orderBy("vec_id")
-      .select(col("embedding").cast("array<double>").as("emb"))
-      .collect().map(_.getSeq[Double](0).toArray)
-    graft.core.KMeans.trainCosine(
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(sample),
-        k = 8, iters = 10, seed = 42L)
-      .map(_.toSeq).toSeq
-  }
+    * centroids" from the round-2 verdict). Memoized per table dir —
+    * training is deterministic and the table is read-only, so Verify's
+    * dump and the query's literal are the same computation done once. */
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+  def ivfCentroids(s: SparkSession, dir: String): Seq[Seq[Double]] =
+    ivfCache.computeIfAbsent(dir, { d =>
+      val sample = withFns(s).read.parquet(s"$d/embeddings.parquet")
+        .filter(col("vec_id") < 512).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>").as("emb"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      graft.core.KMeans.trainCosine(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(sample),
+          k = 8, iters = 10, seed = 42L)
+        .map(_.toSeq).toSeq
+    })
 
   /** Deterministic PII-planted text over the documents table — the same
     * construction is expressed in the DuckDB oracle, so regex stages can
@@ -234,11 +239,13 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // ---- P1: branch predicate (extract vs direct route). Blank = empty
-    //      or ALL-whitespace (the reference's str.strip() semantics —
-    //      trim() strips only 0x20 and would misroute a "\n\t" doc) ----
+    //      or ALL-whitespace, via the SAME canonical char-set the pipeline
+    //      routes on (QualityPipeline.BlankChars = Python str.strip()'s
+    //      set; trim(chars) on both engines — Java \s and RE2 \s disagree
+    //      on U+000B and both miss NBSP/U+3000) ----
     "p1_branch_route" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        when(length(regexp_replace(col("text"), "^\\s+|\\s+$", "")) === 0,
+        when(length(trim(col("text"), QualityPipeline.BlankChars)) === 0,
           lit("extract"))
           .otherwise(lit("direct")).as("route"))
         .orderBy("doc_id")),
@@ -332,8 +339,7 @@ object SparkEntry {
     //      bench instead. ----
     "langid_pred" -> ((s, dir) => {
       withFns(s)
-      val n = synthN(dir)
-      PagesSynth.pages(s, n, 16).join(PagesSynth.truthTable(s, n, 16), "url")
+      PagesSynth.pagesWithTruth(s, synthN(dir), 16) // ONE generation pass
         .filter(col("defect") === "none" && col("validated_ok"))
         .withColumn("lid",
           langid(extract_text(coalesce(col("text"), html_text(col("html"))))))
@@ -357,11 +363,7 @@ object SparkEntry {
     //      recompute; they stay golden in QualityModelSpec. ----
     "perplexity_score" -> ((s, dir) => {
       withFns(s)
-      val n = synthN(dir)
-      val truth = PagesSynth.truthTable(s, n, 16)
-        .select(col("url"), col("lang").as("true_lang"), col("defect"),
-          col("validated_ok"))
-      PagesSynth.pages(s, n, 16).drop("lang").join(truth, "url")
+      PagesSynth.pagesWithTruth(s, synthN(dir), 16) // ONE generation pass
         .filter(col("defect") === "none" && col("validated_ok"))
         .withColumn("txt", coalesce(col("text"), html_text(col("html"))))
         .withColumn("pred", langid(extract_text(col("txt"))).getField("lang"))
@@ -421,9 +423,14 @@ object SparkEntry {
     //      CONTRACT itself is byte-exactly oracled by j2_scrub. ----
     "pipeline_full" -> ((s, dir) => {
       withFns(s)
-      val n = synthN(dir)
-      QualityPipeline(PagesSynth.pages(s, n, 16))
-        .join(PagesSynth.truthTable(s, n, 16), "url")
+      // one generation pass, materialized once (localCheckpoint) because
+      // the frame is consumed twice — as pipeline input and as the truth
+      // side of the join; without it Spark would re-run the validated
+      // generation for each branch
+      val both = PagesSynth.pagesWithTruth(s, synthN(dir), 16)
+        .localCheckpoint(true)
+      QualityPipeline(both.select("url", "warc_ts", "html", "text", "lang"))
+        .join(both.select("url", "defect", "expected_keep", "n_pii"), "url")
         .select(col("url"), col("keep"), col("expected_keep"), col("n_pii"),
           when(col("defect") === "none",
             size(col("pii_matches")).cast("long") === col("n_pii"))
@@ -871,8 +878,8 @@ object SparkEntry {
         "ORDER BY doc_id"),
 
     "p1_branch_route" ->
-      ("SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
-        "'^\\s+|\\s+$', '', 'g')) = 0 THEN 'extract' " +
+      (s"SELECT doc_id, CASE WHEN length(trim(text, " +
+        s"'${QualityPipeline.BlankChars}')) = 0 THEN 'extract' " +
         "ELSE 'direct' END AS route FROM documents ORDER BY doc_id"),
 
     "g1_tokenize_stats" ->

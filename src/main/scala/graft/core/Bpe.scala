@@ -24,6 +24,20 @@ object Bpe {
 
   final val DefaultNumMerges = 60
 
+  /** Code-point symbols (NOT UTF-16 chars: a non-BMP character must be
+    * ONE symbol, matching DuckDB's per-codepoint string_split(w, '') —
+    * surrogate halves would silently double-count astral text). */
+  private def symbols(word: String): Array[String] = {
+    val out = new mutable.ArrayBuffer[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
   /** Left-to-right non-overlapping application of one merge. */
   def applyMerge(syms: Array[String], a: String, b: String): Array[String] = {
     var hit = false
@@ -52,7 +66,7 @@ object Bpe {
             numMerges: Int = DefaultNumMerges): IndexedSeq[(String, String)] = {
     // deterministic iteration order: sort words
     var words: Array[(Array[String], Int)] = freqs.toArray.sortBy(_._1)
-      .map { case (w, c) => (w.map(_.toString).toArray, c) }
+      .map { case (w, c) => (symbols(w), c) }
     val merges = mutable.ArrayBuffer[(String, String)]()
     var m = 0
     var exhausted = false
@@ -85,7 +99,7 @@ object Bpe {
     * in training order. */
   def encode(word: String,
              merges: IndexedSeq[(String, String)]): Array[String] = {
-    var syms = word.map(_.toString).toArray
+    var syms = symbols(word)
     var i = 0
     while (i < merges.length) {
       syms = applyMerge(syms, merges(i)._1, merges(i)._2)

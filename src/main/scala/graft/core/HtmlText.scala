@@ -41,17 +41,26 @@ object HtmlText {
           i = if (end < 0) n else end + 3
         } else {
           // tag close respects quoted attribute values: '>' inside
-          // title="a>b" does not end the tag
+          // title="a>b" does not end the tag. A quote only counts as an
+          // attribute-value delimiter when it FOLLOWS '=' (attr syntax):
+          // a stray "<3 don't worry" in prose must not open a quote that
+          // swallows the document. If the quote-aware scan finds no close
+          // (unterminated quote), fall back to the first plain '>' — the
+          // bounded pre-quote-awareness behavior — rather than dropping
+          // the whole remainder.
           var j = i + 1
           var quote: Char = 0
           var close = -1
+          var prevNonSpace: Char = 0
           while (j < n && close < 0) {
             val cj = html.charAt(j)
             if (quote != 0) { if (cj == quote) quote = 0 }
-            else if (cj == '"' || cj == '\'') quote = cj
+            else if ((cj == '"' || cj == '\'') && prevNonSpace == '=') quote = cj
             else if (cj == '>') close = j
+            if (!Character.isWhitespace(cj)) prevNonSpace = cj
             j += 1
           }
+          if (close < 0 && quote != 0) close = html.indexOf('>', i + 1)
           if (close < 0) { i = n } // truncated tag: drop remainder
           else {
             val tag = html.substring(i + 1, close).trim

@@ -91,21 +91,38 @@ object CheckpointedRun {
     val staged = prebucketed match {
       case Some(path) =>
         // zero-copy: trust-but-verify the layout — the bucket scheme is
-        // part of the run's identity, so a wrong-P input must fail loudly
-        // here, not silently route rows to the wrong resume partitions
-        require(Files.exists(Paths.get(path, "_bucket=0")) ||
-          (0 until numPartitions).exists(k =>
-            Files.exists(Paths.get(path, s"_bucket=$k"))),
+        // part of the run's identity, so a wrong-P / wrong-key input must
+        // fail loudly here, not silently route rows to the wrong resume
+        // partitions
+        val dirStream = Files.list(Paths.get(path))
+        val maxBucket =
+          try dirStream.iterator().asScala
+            .map(_.getFileName.toString)
+            .collect { case s if s.startsWith("_bucket=") =>
+              s.stripPrefix("_bucket=").toInt }
+            .maxOption.getOrElse(-1)
+          finally dirStream.close()
+        require(maxBucket >= 0,
           s"prebucketed input at $path has no _bucket=<k> directories")
-        val maxBucket = Files.list(Paths.get(path)).iterator().asScala
-          .map(_.getFileName.toString)
-          .collect { case s if s.startsWith("_bucket=") =>
-            s.stripPrefix("_bucket=").toInt }
-          .maxOption.getOrElse(-1)
         require(maxBucket < numPartitions,
           s"prebucketed input at $path has _bucket=$maxBucket >= " +
             s"numPartitions=$numPartitions — bucket scheme mismatch")
-        spark.read.parquet(path)
+        val pre = spark.read.parquet(path)
+        // a SMALLER-P or differently-keyed layout also passes the dir
+        // checks — verify actual membership on a bounded sample (any
+        // mismatched scheme puts ~(1-1/P) of rows in the wrong bucket, so
+        // 1000 rows catch it with near-certainty at a cost independent of
+        // input size; a full-scan check would defeat zero-copy)
+        val bad = pre.select(col(keyCol), col("_bucket"))
+          .limit(1000)
+          .filter(pmod(xxhash64(col(keyCol)), lit(numPartitions))
+            .cast("long") =!= col("_bucket").cast("long"))
+          .count()
+        require(bad == 0,
+          s"prebucketed input at $path is not bucketed by " +
+            s"pmod(xxhash64($keyCol), $numPartitions): $bad of a " +
+            "1000-row sample land outside their directory")
+        pre
       case None =>
         val stagedPath = Paths.get(root, "_staged", s"run=$runId").toString
         if (!Files.exists(Paths.get(stagedPath, "_SUCCESS"))) {

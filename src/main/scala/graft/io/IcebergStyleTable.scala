@@ -65,6 +65,22 @@ object IcebergStyleTable {
             "another committer; re-read currentVersion and retry")
     }
 
+  /** Run the commit body under a claimed version; a FAILED commit releases
+    * its claim so the version number stays committable (without this, one
+    * crashed writer would wedge the table forever — every later committer
+    * recomputes the same version and hits the stale claim). A SUCCESSFUL
+    * commit keeps the claim file: the hint has advanced past it, and it
+    * doubles as a record of the committer. */
+  private def withClaim[A](root: String, version: Int)(body: => A): A = {
+    claimVersion(root, version)
+    try body
+    catch {
+      case t: Throwable =>
+        Files.deleteIfExists(metaDir(root).resolve(s"claim-$version"))
+        throw t
+    }
+  }
+
   def currentVersion(root: String): Int = {
     val hint = metaDir(root).resolve("version-hint.text")
     if (Files.exists(hint))
@@ -152,7 +168,7 @@ object IcebergStyleTable {
              shufflePartitions: Int = 32): Snapshot = {
     Files.createDirectories(metaDir(root))
     val version = currentVersion(root) + 1
-    claimVersion(root, version)
+    withClaim(root, version) {
 
     val salted = df.repartition(shufflePartitions,
       (partitionCols.map(col) :+
@@ -175,6 +191,7 @@ object IcebergStyleTable {
       added, rowCount, partitionCols, extra = "")
 
     Snapshot(version, added, rowCount)
+    }
   }
 
   /** Read the current snapshot: file list resolved from its manifest
@@ -205,7 +222,7 @@ object IcebergStyleTable {
               filesPerPartitionDir: Int = 1): Snapshot = {
     val current = read(spark, root)
     val version = currentVersion(root) + 1
-    claimVersion(root, version)
+    withClaim(root, version) {
     val liveGens = manifest(root, version - 1)
       .map(f => f.takeWhile(_ != '/')).distinct
 
@@ -225,6 +242,7 @@ object IcebergStyleTable {
     liveGens.foreach(g => deleteRecursively(dataDir(root).resolve(g)))
 
     Snapshot(version, added, rowCount)
+    }
   }
 
   private def deleteRecursively(p: Path): Unit = {

@@ -33,6 +33,15 @@ final case class PageTruthRow(url: String, lang: String, defect: String,
                               expected_keep: Boolean, n_pii: Long,
                               validated_ok: Boolean)
 
+/** Page row + its truth labels in one record: the synth-backed queries
+  * need both, and generating them together costs ONE validation loop per
+  * id instead of two (pages() + truthTable() would each rerun it). */
+final case class PageWithTruth(url: String, warc_ts: Timestamp,
+                               html: Option[Array[Byte]], text: Option[String],
+                               lang: String, true_lang: String, defect: String,
+                               expected_keep: Boolean, n_pii: Long,
+                               validated_ok: Boolean)
+
 /** Deterministic synthetic pages table (seed 42, no wall clock, no
   * external data; SURVEY §7.1 step 1).
   *
@@ -309,6 +318,21 @@ object PagesSynth {
     import spark.implicits._
     spark.range(0, n, 1, numPartitions).as[Long]
       .mapPartitions(_.map(truth))
+      .toDF()
+  }
+
+  /** Pages and truth labels from ONE generation pass (see
+    * [[PageWithTruth]]) — the synth-backed oracle queries read this
+    * instead of calling pages() + truthTable() twice. */
+  def pagesWithTruth(spark: SparkSession, n: Long,
+                     numPartitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, numPartitions).as[Long]
+      .mapPartitions(_.map { id =>
+        val (t, r) = generate(id)
+        PageWithTruth(r.url, r.warc_ts, r.html, r.text, r.lang, t.lang,
+          t.defect, t.expectedKeep, t.nPii.toLong, t.validatedOk)
+      })
       .toDF()
   }
 

@@ -31,6 +31,20 @@ object QualityPipeline {
   final val PerplexityMax: Double = graft.core.Heuristics.PerplexityMax
   final val LangConfMin: Double = graft.core.Heuristics.LangConfMin
 
+  /** The blank-route whitespace set: Python `str.strip()`'s full
+    * whitespace (ASCII controls + every Unicode space, incl. NBSP and
+    * the ideographic space U+3000 common on CJK pages), so an NBSP- or
+    * ideographic-space-padded text field routes to html extraction
+    * exactly like the reference. ONE canonical constant shared by the
+    * pipeline route, the p1_branch_route query, and its DuckDB oracle
+    * -- trim(chars) on both sides, no regex-engine whitespace-class
+    * parity games (Java and RE2 disagree on U+000B, and neither regex
+    * whitespace class matches U+00A0 or U+3000). */
+  final val BlankChars: String =
+    " \t\n\u000B\f\r\u001C\u001D\u001E\u001F\u0085\u00A0" +
+      "\u1680\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007" +
+      "\u2008\u2009\u200A\u2028\u2029\u202F\u205F\u3000"
+
   /** pages(url, warc_ts, html, text, lang) → output rows (SURVEY §1.4). */
   def apply(pages: DataFrame): DataFrame = {
     pages
@@ -48,7 +62,7 @@ object QualityPipeline {
       // regex-engine scans per document for nothing.
       .withColumn("raw_text",
         when(col("text").isNotNull &&
-          length(trim(col("text"), " \t\n\r\u000B\f\u0085\u00A0")) > 0,
+          length(trim(col("text"), BlankChars)) > 0,
           col("text"))
           .otherwise(when(col("html").isNotNull, html_text(col("html")))
             .otherwise(col("text"))))

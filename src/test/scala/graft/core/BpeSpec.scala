@@ -51,6 +51,14 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.tokenCount("zqxjvk") >= 5)
   }
 
+  test("symbols are code points, not UTF-16 units: astral chars are ONE " +
+      "token (matching DuckDB's per-codepoint split)") {
+    val word = "a😀b" // a 😀 b
+    val toks = Bpe.encode(word, Bpe.defaultMerges)
+    assert(toks.length == 3, toks.toSeq)
+    assert(toks.mkString == word)
+  }
+
   test("countText: whitespace words, lowercased, summed") {
     assert(Bpe.countText("The the\nTHE") == 3L * Bpe.tokenCount("the"))
     assert(Bpe.countText("") == 0L)

@@ -29,6 +29,22 @@ class HtmlTextSpec extends AnyFunSuite {
     assert(!out.contains("href"), out)
   }
 
+  test("a stray '<' followed by prose apostrophes does not open a quote " +
+      "that swallows the document (regression)") {
+    val html = "<p>score <3 don't worry x > y</p><p>rest of the page</p>"
+    val out = HtmlText.extract(html)
+    // the stray-tag span `<3 ... >` is dropped (pre-existing behavior),
+    // but everything after its first '>' survives
+    assert(out.contains("y") && out.contains("rest of the page"), out)
+  }
+
+  test("an unterminated quoted attribute falls back to the first '>' " +
+      "instead of dropping the remainder") {
+    val html = "<a title=\"broken>text after</a><p>more content</p>"
+    val out = HtmlText.extract(html)
+    assert(out.contains("more content"), out)
+  }
+
   test("comments are skipped entirely, including embedded '>' and tags") {
     val html = "<p>before</p><!-- a > b <p>not text</p> --><p>after</p>" +
       "<!-- truncated comment swallows the rest <p>gone</p>"

@@ -131,6 +131,25 @@ class IcebergIoSpec extends AnyFunSuite {
     assert(IcebergStyleTable.read(spark, root).count() == 100)
   }
 
+  test("a FAILED commit releases its version claim — the table is not " +
+      "wedged for later committers") {
+    val root = tmpDir("casfail")
+    val df = QualityPipeline(PagesSynth.pages(spark, 100, 2))
+    IcebergStyleTable.append(df, root, Seq("part_date"), "url", 8, 2)
+    // a commit whose Spark write blows up mid-flight (runtime error)
+    val poisoned = df.withColumn("boom",
+      expr("assert_true(part_date IS NULL)"))
+    intercept[Exception] {
+      IcebergStyleTable.append(poisoned, root, Seq("part_date"), "url", 8, 2)
+    }
+    // the failed committer's claim must be gone, so the SAME version is
+    // claimable again and the next commit succeeds
+    assert(!Files.exists(Paths.get(root, "metadata", "claim-2")))
+    val snap = IcebergStyleTable.append(df, root, Seq("part_date"), "url", 8, 2)
+    assert(snap.version == 2)
+    assert(IcebergStyleTable.read(spark, root).count() == 200)
+  }
+
   test("zero-copy resume mode: prebucketed input skips the staging " +
       "rewrite and matches the staged-mode output byte-for-byte") {
     val input = PagesSynth.pages(spark, 200, 4)

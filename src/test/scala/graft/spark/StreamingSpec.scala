@@ -166,8 +166,10 @@ class StreamingSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("stream_dedup_cap").toString
     def write(rows: Seq[(String, String)], mode: String): Unit =
       rows.toDF("url", "text").write.mode(mode).parquet(s"$dir/in")
-    // A then B then C through a cap of 2: C's insert evicts A
-    write(Seq(("u1", "A"), ("u1", "B"), ("u1", "C")), "overwrite")
+    // A then B then C through a cap of 2, ONE fingerprint per batch —
+    // within a batch the group iterator's order is not the input order,
+    // so only per-batch sequencing pins which entry is "oldest"
+    write(Seq(("u1", "A")), "overwrite")
     val schema = spark.read.parquet(s"$dir/in").schema
     def runOnce(): Unit = {
       val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
@@ -182,8 +184,15 @@ class StreamingSpec extends AnyFunSuite {
       awaitDone(q)
     }
     runOnce()
+    write(Seq(("u1", "B")), "append")
+    runOnce()
+    // C's insert exceeds the cap and evicts the OLDEST entry, A
+    write(Seq(("u1", "C")), "append")
+    runOnce()
     // B and C are still in state (deduped); evicted A re-admits
-    write(Seq(("u1", "B"), ("u1", "C"), ("u1", "A")), "append")
+    write(Seq(("u1", "B"), ("u1", "C")), "append")
+    runOnce()
+    write(Seq(("u1", "A")), "append")
     runOnce()
     val out = spark.read.parquet(s"$dir/out").as[(String, String)]
       .collect().toSeq.sortBy(_._2)
