@@ -209,6 +209,15 @@ object SparkEntry {
     * same-variant planted docs), under the cap. */
   private def minhashConfirmedPairs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).withColumn("t", expr(nearDupSql))
+    // The band keys feed three consumers (the bucket-size aggregation and
+    // both sides of the band self-join) and the plan re-evaluates the
+    // banding kernel per consumer (no ReusedExchange across the
+    // subtrees). Measured trade-off: at verify scale the recompute is
+    // CHEAPER than materializing (an eager localCheckpoint of bandRows +
+    // shingles made the query 3-4x slower — RDD-block round-trip and lost
+    // whole-stage codegen dominate); on a 100 TB run, where the scan is
+    // the expensive part, the right lever is persist(MEMORY_AND_DISK) on
+    // bandRows + unpersist after, same plan shape.
     val bandRows = d.select(col("doc_id"),
       explode(lsh_bands(col("t"))).as("band"))
     val safeBuckets = bandRows.groupBy("band")
