@@ -148,7 +148,7 @@ object Bench {
       val s = session(cpus)
       s.sparkContext.setLogLevel("WARN")
       Seq("d1_pii_counts", "d3_pii_financial", "j2_scrub", "langid_pred", "perplexity_score",
-        "heuristics_basic", "quality_score", "dedup_exact",
+        "heuristics_basic", "toxicity_blocklist", "quality_score", "dedup_exact",
         "dedup_minhash_pairs", "dedup_clusters", "dedup_simhash",
         "dedup_embedding_pairs",
         "dedup_ngram_jaccard", "text_fingerprint",

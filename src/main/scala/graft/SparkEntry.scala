@@ -127,6 +127,17 @@ object SparkEntry {
       "[PII:Phone Number] [PII:Phone Number] quickly. ssn [PII:SSN] " +
       "ip [PII:IP Address] acct [PII:Account Number] ref 12-34 v1.2 end'"
 
+  /** Deterministic blocklist-marker planting for the toxicity rule:
+    * ~2/7 of docs gain known markers (one uppercase, exercising the
+    * lowercase path); the oracle recounts from the same construction, so
+    * natural occurrences in the base text stay correct on both sides. */
+  private val toxTextSql: String =
+    "case when doc_id % 7 = 0 then concat(text, ' viagra casino xxx') " +
+      "when doc_id % 7 = 1 then concat(text, ' NSFW') else text end"
+  private val toxTextDuck: String =
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' viagra casino xxx' " +
+      "WHEN doc_id % 7 = 1 THEN text || ' NSFW' ELSE text END"
+
   /** Deterministic dup/near-dup planting for the dedup operators. */
   private val dupTextSql: String =
     "case when doc_id % 11 < 2 then concat('duplicate cluster ', " +
@@ -399,6 +410,19 @@ object SparkEntry {
         ruleValue(col("rs"), "lorem_ipsum").cast("long").as("has_lorem"),
         ruleValue(col("rs"), "curly_brace").cast("long").as("has_curly"),
         (!fired).as("keep_basic"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- §2.11 toxicity: C4-style badwords filter (blocklist_hit rule)
+    //      over planted markers — any occurrence drops the page, the
+    //      lineage value carries the occurrence count ----
+    "toxicity_blocklist" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("t", expr(toxTextSql))
+        .withColumn("rs", rules(col("t"), lit("en")))
+      d.select(col("doc_id"),
+        ruleValue(col("rs"), "blocklist_hit").cast("long")
+          .as("n_blocklist_hits"),
+        ruleFired(col("rs"), "blocklist_hit").as("flagged"))
         .orderBy("doc_id")
     }),
 
@@ -986,6 +1010,16 @@ object SparkEntry {
         s"OR $stop < 2 OR $lorem > 0 OR $curly > 0 OR $sent < 3) " +
         s"THEN 1 ELSE 0 END) AS BIGINT) AS n_keep " +
         s"FROM documents GROUP BY lang ORDER BY lang"
+    },
+
+    "toxicity_blocklist" -> {
+      val listLit = graft.core.Heuristics.Blocklist.toSeq.sorted
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      val hits = s"len(list_filter(list_transform(list_filter(" +
+        s"regexp_split_to_array($toxTextDuck, '\\s+'), w -> w <> ''), " +
+        s"w -> lower(w)), w -> list_contains($listLit, w)))"
+      s"SELECT doc_id, CAST($hits AS BIGINT) AS n_blocklist_hits, " +
+        s"$hits > 0 AS flagged FROM documents ORDER BY doc_id"
     },
 
     // DuckDB sum(BIGINT) is HUGEINT and pandas-renders as float64; the

@@ -51,6 +51,15 @@ object Heuristics {
   final val PerplexityMax = 1500.0
   final val LangConfMin = 0.2
 
+  /** C4-style badwords filter (Raffel et al. 2020 §2.2 drop pages with any
+    * word on the public blocklist). This ships a small adult/spam-marker
+    * stand-in — a production deployment swaps in the full public list; the
+    * rule machinery (exact lowercased-token membership, occurrence count
+    * in lineage, any-hit drop) is the real contract. */
+  final val Blocklist: Set[String] = Set(
+    "porn", "porno", "xxx", "viagra", "cialis", "nsfw", "hentai",
+    "fetish", "escort", "jackpot", "casino")
+
   // ------------------------------------------------------------------
   // Shared single-pass text statistics
   // ------------------------------------------------------------------
@@ -233,10 +242,12 @@ object Heuristics {
     val idx = stopIdxFor(lang)
     val seen = new Array[Boolean](idx.size)
     var stopCount = 0
+    var blockCount = 0
     i = 0
     while (i < n) {
       val id = idx.getOrDefault(wsLower(i), -1)
       if (id >= 0 && !seen(id)) { seen(id) = true; stopCount += 1 }
+      if (Blocklist.contains(wsLower(i))) blockCount += 1
       i += 1
     }
 
@@ -258,6 +269,9 @@ object Heuristics {
         MinStopwords),
       RuleResult("lorem_ipsum", hasLorem > 0, hasLorem, 0.0),
       RuleResult("curly_brace", hasCurly > 0, hasCurly, 0.0),
+      // C4 badwords semantics: ANY occurrence drops the page; the lineage
+      // value carries the occurrence count for corpus diagnostics
+      RuleResult("blocklist_hit", blockCount > 0, blockCount.toDouble, 0.0),
       RuleResult("min_sentence_count", st.sentences < MinSentences,
         st.sentences.toDouble, MinSentences.toDouble))
   }

@@ -74,6 +74,26 @@ class QualityModelSpec extends AnyFunSuite {
     assert(fired(dupLines).contains("dup_line_fraction"))
   }
 
+  test("toxicity blocklist: any hit drops, count in lineage, exact " +
+      "lowercased-token membership (no substring matches)") {
+    val clean = {
+      val rnd = new java.util.Random(321)
+      (1 to 8).map { _ =>
+        val body = (1 to 12).map(_ => SeedCorpus.sampleWord("en", rnd))
+        "the " + body.mkString(" ") + " of that."
+      }.mkString(" ")
+    }
+    def rule(text: String): RuleResult =
+      Heuristics.evaluate(text).find(_.rule == "blocklist_hit").get
+    assert(!rule(clean).fired)
+    val hit = rule(clean + " VIAGRA casino viagra")
+    assert(hit.fired && hit.value == 3.0, hit)
+    assert(!Heuristics.keep(Heuristics.evaluate(clean + " nsfw")))
+    // exact token membership: substrings and punctuation-fused tokens
+    // do not count (the oracle's list_contains mirror behaves the same)
+    assert(!rule(clean + " casinos xxx.").fired)
+  }
+
   test("dedup: minhash estimates jaccard, simhash tracks edits") {
     val a = sampleText("en", 200, 21)
     val bNear = a + " tail extra words here"
