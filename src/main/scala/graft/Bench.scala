@@ -29,8 +29,14 @@ import org.apache.spark.sql.SparkSession
   * measuring each level in one sequential block let a single noisy window
   * skew one level and produce a physically impossible superlinear pair.
   * Interleaving puts every level inside every noise window, and the
-  * median of per-cycle ratios is robust to one bad cycle. Per pass:
-  * scan → pipeline → noop write (forces all columns, no collect).
+  * median of per-cycle ratios is robust to one bad cycle. Cycles whose
+  * own /proc/stat steal reading exceeds a threshold are excluded from
+  * the headline medians (contamination flagged by a signal independent
+  * of this engine; a severely stolen window was measured producing
+  * per-cycle ratios of 0.28-1.67 — unusable arithmetic); all cycles and
+  * their steal readings are still reported, and up to 4 extra cycles run
+  * when rejection leaves fewer than 3 clean ones. Per pass: scan →
+  * pipeline → noop write (forces all columns, no collect).
   */
 object Bench {
 
@@ -87,18 +93,34 @@ object Bench {
     }
 
     // 3. timed pipeline at each parallelism level, INTERLEAVED round-robin
-    //    across cycles (same input, hot JVM; see methodology above)
+    //    across cycles (same input, hot JVM; see methodology above).
+    //    Each cycle carries its own hypervisor-steal reading: a cycle that
+    //    lost CPU to the host neighborhood is CONTAMINATED by a signal
+    //    independent of this engine, and is excluded from the headline
+    //    medians (all cycles are still reported). If rejection leaves too
+    //    few clean cycles, up to `maxCycles` total are run.
     val levels = Seq(4, 8, 16, 32)
-    val cycles = sys.env.get("SPARK_GRAFT_BENCH_CYCLES").map(_.toInt).getOrElse(5)
+    val baseCycles =
+      sys.env.get("SPARK_GRAFT_BENCH_CYCLES").map(_.toInt).getOrElse(5)
+    val maxCycles =
+      sys.env.get("SPARK_GRAFT_BENCH_MAX_CYCLES").map(_.toInt)
+        .getOrElse(baseCycles + 4)
+    // ~1000 jiffies = 10 stolen core-seconds across a ~60 core-second
+    // cycle — beyond this the ratio arithmetic is host noise, not signal
+    val stealRejectThreshold =
+      sys.env.get("SPARK_GRAFT_BENCH_STEAL_MAX").map(_.toLong).getOrElse(1000L)
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     // cycleTimes(level) = one timed pass per cycle, in cycle order
     val cycleTimes = levels.map(l => l ->
       scala.collection.mutable.ArrayBuffer[Double]()).toMap
+    val cycleSteal = scala.collection.mutable.ArrayBuffer[Long]()
     val steals = scala.collection.mutable.LinkedHashMap[Int, Long]()
     levels.foreach(l => steals(l) = 0L)
     var stage32Nanos = Map.empty[String, Long]
     var stage32Docs = 0L
-    (1 to cycles).foreach { cycle =>
+
+    def runCycle(cycle: Int): Unit = {
+      val cst0 = stealJiffies
       levels.foreach { level =>
         val s = session(level)
         s.sparkContext.setLogLevel("WARN")
@@ -119,16 +141,34 @@ object Bench {
         }
         s.stop()
       }
+      cycleSteal += stealJiffies - cst0
     }
+
+    var cycle = 0
+    def cleanCycles: Seq[Int] =
+      cycleSteal.indices.filter(cycleSteal(_) <= stealRejectThreshold)
+    while (cycle < baseCycles ||
+        (cleanCycles.size < 3 && cycle < maxCycles)) {
+      cycle += 1
+      runCycle(cycle)
+    }
+    val cyclesRun = cycle
+    // if even the extended run never saw 3 clean windows, fall back to
+    // using everything — an all-contaminated report is labeled by its own
+    // steal numbers rather than silently thinned
+    val used: Seq[Int] =
+      if (cleanCycles.size >= 3) cleanCycles else cycleSteal.indices.toSeq
+
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
-    // headline per-level time = median across cycles (conservative vs the
-    // round-2 best-of-N convention — best-of is reported alongside for
-    // cross-round continuity)
-    val times = levels.map(l => l -> median(cycleTimes(l).toSeq)).toMap
+    // headline per-level time = median across CLEAN cycles (conservative
+    // vs the round-2 best-of-N convention — best-of is reported alongside
+    // for cross-round continuity)
+    val times = levels.map(l =>
+      l -> median(used.map(cycleTimes(l)(_)))).toMap
     val bests = levels.map(l => l -> cycleTimes(l).min).toMap
     levels.foreach(l => results(s"pipeline_local$l") = times(l))
     levels.foreach(l => results(s"pipeline_local${l}_best") = bests(l))
@@ -137,11 +177,14 @@ object Bench {
         if (stage32Docs == 0) 0.0
         else stage32Nanos.getOrElse(st, 0L) / 1e3 / stage32Docs
     }
-    // efficiency pairs computed WITHIN each cycle, then median + spread
+    // efficiency pairs computed WITHIN each cycle; headline = median over
+    // clean cycles, full per-cycle arrays reported as the spread
     def effCycle(c: Int, n: Int, n4: Int): Double =
       (cycleTimes(n)(c) * n) / (cycleTimes(n4)(c) * n4)
-    val eff416 = (0 until cycles).map(effCycle(_, 4, 16))
-    val eff832 = (0 until cycles).map(effCycle(_, 8, 32))
+    val eff416All = (0 until cyclesRun).map(effCycle(_, 4, 16))
+    val eff832All = (0 until cyclesRun).map(effCycle(_, 8, 32))
+    val eff416 = used.map(effCycle(_, 4, 16))
+    val eff832 = used.map(effCycle(_, 8, 32))
 
     // 4. headline per-operator queries at full parallelism on sfDir
     locally {
@@ -180,7 +223,7 @@ object Bench {
     def arr(xs: Seq[Double]): String =
       xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"pipeline_e2e_local32","value":${times(32)}%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_docs":$BenchDocs,$dps,"scaling_efficiency_4_to_16":${median(eff416)}%.3f,"scaling_efficiency_8_to_32":${median(eff832)}%.3f,"eff_4_to_16_cycles":${arr(eff416)},"eff_8_to_32_cycles":${arr(eff832)},"bench_cycles":$cycles,"steal_jiffies_local16":${steals(16)},"steal_jiffies_local32":${steals(32)}}"""
+      f"""{"metric":"pipeline_e2e_local32","value":${times(32)}%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_docs":$BenchDocs,$dps,"scaling_efficiency_4_to_16":${median(eff416)}%.3f,"scaling_efficiency_8_to_32":${median(eff832)}%.3f,"eff_4_to_16_cycles":${arr(eff416All)},"eff_8_to_32_cycles":${arr(eff832All)},"bench_cycles":$cyclesRun,"cycles_used":${used.size},"steal_jiffies_cycles":${cycleSteal.mkString("[", ",", "]")},"steal_reject_threshold":$stealRejectThreshold,"steal_jiffies_local16":${steals(16)},"steal_jiffies_local32":${steals(32)}}"""
     // stdout (bare — build.sbt sets StdoutOutput so sbt adds no prefix)
     // plus a file copy in case any wrapper still decorates stdout
     println(line)
