@@ -42,6 +42,20 @@ object SparkEntry {
     * centroids" from the round-2 verdict). Memoized per table dir —
     * training is deterministic and the table is read-only, so Verify's
     * dump and the query's literal are the same computation done once. */
+  final val IvfNProbe = 2
+
+  /** Driver-side cosine for ranking the query's probe cells over the tiny
+    * codebook — same sequential arithmetic as the graft_cosine kernel and
+    * DuckDB's list_cosine_similarity, so the probe ranking agrees with
+    * the oracle's ORDER BY bit-for-bit. */
+  private def cosLocal(x: Array[Double], y: Array[Double]): Double = {
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) { dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
   def ivfCentroids(s: SparkSession, dir: String): Seq[Seq[Double]] =
@@ -708,21 +722,35 @@ object SparkEntry {
     }),
 
     // ---- similarity: IVF ANN with a TRAINED coarse quantizer (seeded
-    //      deterministic k-means over a bounded sample — ivfCentroids),
-    //      searching only the query's cell — the scale path. The codebook
-    //      is tiny, so it ships as a literal: assignment is ONE native
-    //      expression in the scan projection — no per-row join, no
-    //      window, no extra shuffle. The oracle reads the DUMPED codebook
-    //      and independently recomputes assignment + cell search. ----
+    //      deterministic k-means over a bounded sample — ivfCentroids)
+    //      and MULTI-PROBE search (nprobe = 2): a balanced trained
+    //      quantizer splits true neighbors across cell boundaries more
+    //      often than an arbitrary first-K codebook does (measured:
+    //      single-probe recall@10 dropped 9 → 8 after training), and
+    //      probing the query's next-nearest cells is the standard IVF
+    //      answer. The codebook is tiny, so it ships as a literal:
+    //      assignment is ONE native expression in the scan projection —
+    //      no per-row join, no window, no extra shuffle; the probe set is
+    //      a 2-element isin filter. The oracle reads the DUMPED codebook
+    //      and independently recomputes assignment + probe-cell search. ----
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = withFns(s).read.parquet(s"$dir/embeddings.parquet")
         .withColumn("emb", col("embedding").cast("array<double>"))
+      val centroids = ivfCentroids(s, dir)
       val assigned = emb.withColumn("cent_id",
-        ivf_assign(col("emb"), typedLit(ivfCentroids(s, dir))))
-      val q = assigned.filter(col("vec_id") === 0)
-        .select(col("emb").as("q_emb"), col("cent_id").as("q_cent"))
-      assigned.filter(col("vec_id") =!= 0).join(broadcast(q),
-          col("cent_id") === col("q_cent"))
+        ivf_assign(col("emb"), typedLit(centroids)))
+      // the single query vector's probe cells, ranked on the driver over
+      // the tiny codebook (ties → lowest cell id, mirrored in the oracle)
+      val qVec = emb.filter(col("vec_id") === 0)
+        .select("emb").head().getSeq[Double](0).toArray
+      val probes = centroids.zipWithIndex
+        .map { case (c, i) => (i.toLong, cosLocal(qVec, c.toArray)) }
+        .sortBy { case (i, sim) => (-sim, i) }
+        .take(IvfNProbe).map(_._1)
+      val q = emb.filter(col("vec_id") === 0).select(col("emb").as("q_emb"))
+      assigned.filter(col("vec_id") =!= 0 &&
+          col("cent_id").isin(probes: _*))
+        .crossJoin(broadcast(q))
         .select(col("vec_id"),
           round(cosine(col("emb"), col("q_emb")), 4).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
@@ -1129,9 +1157,11 @@ object SparkEntry {
         "ORDER BY cosine DESC, vec_id LIMIT 10"
     },
 
-    // cell assignment + cell-restricted search recomputed independently
-    // GIVEN the dumped trained codebook (the codebook is an oracle input;
-    // training determinism is sbt-tested)
+    // cell assignment + multi-probe (nprobe = 2) search recomputed
+    // independently GIVEN the dumped trained codebook (the codebook is an
+    // oracle input; training determinism is sbt-tested). Probe cells =
+    // the query's top-nprobe centroids by cosine, ties → lowest cell id —
+    // the same ranking the Spark side computes on the driver.
     "ann_ivf_topk" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb " +
         "FROM embeddings), " +
@@ -1142,10 +1172,13 @@ object SparkEntry {
         "FROM e CROSS JOIN cents GROUP BY e.vec_id), " +
         "a AS (SELECT e.vec_id, e.emb, s.cent_id FROM e " +
         "JOIN assign s ON e.vec_id = s.vec_id), " +
-        "q AS (SELECT emb AS q_emb, cent_id AS q_cent FROM a " +
-        "WHERE vec_id = 0) " +
+        "q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0), " +
+        "probes AS (SELECT cent_id FROM cents, q " +
+        "ORDER BY list_cosine_similarity(q_emb, cent) DESC, cent_id " +
+        s"LIMIT $IvfNProbe) " +
         "SELECT a.vec_id, round(list_cosine_similarity(a.emb, q_emb), 4) " +
-        "AS cosine FROM a, q WHERE a.vec_id <> 0 AND a.cent_id = q_cent " +
+        "AS cosine FROM a, q WHERE a.vec_id <> 0 " +
+        "AND a.cent_id IN (SELECT cent_id FROM probes) " +
         "ORDER BY cosine DESC, vec_id LIMIT 10"),
 
     "dedup_ngram_jaccard" -> {

@@ -129,6 +129,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF: trained codebook + multi-probe recall@10 is at least round " +
+      "2's naive first-K single-cell recall (the upgrade must not lose " +
+      "recall; measured: balanced cells NEED nprobe > 1)") {
+    import graft.expr.GraftFunctions._
+    val brute = SparkEntry.queries("knn_bruteforce")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    // round-2 configuration: first-8 raw vectors as cells, single probe
+    def naiveSingleCellRecall: Int = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("emb", col("embedding").cast("array<double>"))
+      val naive: Seq[Seq[Double]] = emb.filter(col("vec_id") < 8)
+        .orderBy("vec_id").select("emb")
+        .collect().map(_.getSeq[Double](0)).toSeq
+      val assigned = emb.withColumn("cent_id",
+        ivf_assign(col("emb"), typedLit(naive)))
+      val q = assigned.filter(col("vec_id") === 0)
+        .select(col("emb").as("q_emb"), col("cent_id").as("q_cent"))
+      assigned.filter(col("vec_id") =!= 0).join(broadcast(q),
+          col("cent_id") === col("q_cent"))
+        .select(col("vec_id"), cosine(col("emb"), col("q_emb")).as("c"))
+        .orderBy(col("c").desc, col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).count(brute.contains)
+    }
+    val trainedRecall = SparkEntry.queries("ann_ivf_topk")(spark, dir)
+      .collect().map(_.getLong(0)).count(brute.contains)
+    val naiveRecall = naiveSingleCellRecall
+    assert(trainedRecall >= naiveRecall,
+      s"trained+multiprobe=$trainedRecall < naive=$naiveRecall")
+  }
+
   test("rpc boundary: one client per task, batched, retried, row-isolated") {
     import spark.implicits._
     RpcProbe.reset()
