@@ -39,9 +39,16 @@ object SparkEntry {
     * way). The codebook is an ORACLE INPUT: Verify dumps it, and the
     * DuckDB side verifies assignment + cell-restricted search GIVEN these
     * centroids (the invariant "assigned cell = argmax cosine over trained
-    * centroids" from the round-2 verdict). Memoized per table dir —
+    * centroids" from the round-2 verdict). Memoized per (dir, k) —
     * training is deterministic and the table is read-only, so Verify's
-    * dump and the query's literal are the same computation done once. */
+    * dump and the query's literal are the same computation done once.
+    *
+    * `IvfK` / `IvfNProbe` are the EXHIBIT DEFAULTS for the driver query at
+    * verify scale, not hard-coded engine constants: [[ivfCentroids]] and
+    * [[ivfTopK]] take k / nprobe as arguments (a real deployment sizes
+    * k ~ sqrt(N) and tunes nprobe against the recall target — the
+    * k=64 / 32k-vector recall-curve gate lives in OpsSpec). */
+  final val IvfK = 8
   final val IvfNProbe = 2
 
   /** Driver-side cosine for ranking the query's probe cells over the tiny
@@ -57,18 +64,38 @@ object SparkEntry {
   }
 
   private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
-  def ivfCentroids(s: SparkSession, dir: String): Seq[Seq[Double]] =
-    ivfCache.computeIfAbsent(dir, { d =>
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Seq[Double]]]()
+  def ivfCentroids(s: SparkSession, dir: String,
+                   k: Int = IvfK): Seq[Seq[Double]] =
+    ivfCache.computeIfAbsent((dir, k), { case (d, kk) =>
       val sample = withFns(s).read.parquet(s"$d/embeddings.parquet")
         .filter(col("vec_id") < 512).orderBy("vec_id")
         .select(col("embedding").cast("array<double>").as("emb"))
         .collect().map(_.getSeq[Double](0).toArray)
       graft.core.KMeans.trainCosine(
           scala.collection.immutable.ArraySeq.unsafeWrapArray(sample),
-          k = 8, iters = 10, seed = 42L)
+          k = kk, iters = 10, seed = 42L)
         .map(_.toSeq).toSeq
     })
+
+  /** Minimum assignment margin (best minus second-best centroid cosine)
+    * over every vector in the table — the dump-time guard against
+    * cross-engine argmax flips on near-ties: Spark's graft_ivf_assign and
+    * DuckDB's arg_max(list_cosine_similarity) do not guarantee identical
+    * float accumulation order, so a vector nearly equidistant to two
+    * centroids could assign differently on the two sides and produce a
+    * confusing parity diff. Verify asserts this margin exceeds an epsilon
+    * BEFORE dumping the codebook, failing loudly at dump time instead. */
+  def ivfMinMargin(s: SparkSession, dir: String,
+                   centroids: Seq[Seq[Double]]): Double = {
+    val emb = withFns(s).read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("emb", col("embedding").cast("array<double>"))
+    val cosines = array(centroids.map(c =>
+      cosine(col("emb"), typedLit(c))): _*)
+    val sorted = sort_array(cosines, asc = false)
+    emb.select((element_at(sorted, 1) - element_at(sorted, 2)).as("margin"))
+      .agg(min(col("margin"))).head().getDouble(0)
+  }
 
   /** Deterministic PII-planted text over the documents table — the same
     * construction is expressed in the DuckDB oracle, so regex stages can
@@ -200,6 +227,37 @@ object SparkEntry {
       s"FROM pair JOIN sizes sa ON id_a = sa.doc_id " +
       s"JOIN sizes sb ON id_b = sb.doc_id " +
       s"WHERE n_inter * 10 >= (sa.n + sb.n - n_inter) * 8)"
+  }
+
+  /** Parameterized IVF ANN search (the `ann_ivf_topk` body): trained
+    * codebook of `k` cells, multi-probe over the query's `nprobe` nearest
+    * cells, exact-cosine ranking of the probed candidates. The codebook is
+    * tiny and ships as a literal — assignment is ONE native expression in
+    * the scan projection (no per-row join, no window, no extra shuffle);
+    * the probe set is an nprobe-element isin filter. Probe cells are
+    * ranked on the driver over the codebook (ties → lowest cell id,
+    * mirrored in the oracle). */
+  def ivfTopK(s: SparkSession, dir: String, k: Int = IvfK,
+              nprobe: Int = IvfNProbe, topK: Int = 10): DataFrame = {
+    val emb = withFns(s).read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("emb", col("embedding").cast("array<double>"))
+    val centroids = ivfCentroids(s, dir, k)
+    val assigned = emb.withColumn("cent_id",
+      ivf_assign(col("emb"), typedLit(centroids)))
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select("emb").head().getSeq[Double](0).toArray
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, cosLocal(qVec, c.toArray)) }
+      .sortBy { case (i, sim) => (-sim, i) }
+      .take(nprobe).map(_._1)
+    val q = emb.filter(col("vec_id") === 0).select(col("emb").as("q_emb"))
+    assigned.filter(col("vec_id") =!= 0 &&
+        col("cent_id").isin(probes: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("emb"), col("q_emb")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(topK)
   }
 
   private def rules(c: Column, lang: Column) = quality_rules(c, lang)
@@ -733,29 +791,7 @@ object SparkEntry {
     //      no per-row join, no window, no extra shuffle; the probe set is
     //      a 2-element isin filter. The oracle reads the DUMPED codebook
     //      and independently recomputes assignment + probe-cell search. ----
-    "ann_ivf_topk" -> ((s, dir) => {
-      val emb = withFns(s).read.parquet(s"$dir/embeddings.parquet")
-        .withColumn("emb", col("embedding").cast("array<double>"))
-      val centroids = ivfCentroids(s, dir)
-      val assigned = emb.withColumn("cent_id",
-        ivf_assign(col("emb"), typedLit(centroids)))
-      // the single query vector's probe cells, ranked on the driver over
-      // the tiny codebook (ties → lowest cell id, mirrored in the oracle)
-      val qVec = emb.filter(col("vec_id") === 0)
-        .select("emb").head().getSeq[Double](0).toArray
-      val probes = centroids.zipWithIndex
-        .map { case (c, i) => (i.toLong, cosLocal(qVec, c.toArray)) }
-        .sortBy { case (i, sim) => (-sim, i) }
-        .take(IvfNProbe).map(_._1)
-      val q = emb.filter(col("vec_id") === 0).select(col("emb").as("q_emb"))
-      assigned.filter(col("vec_id") =!= 0 &&
-          col("cent_id").isin(probes: _*))
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"),
-          round(cosine(col("emb"), col("q_emb")), 4).as("cosine"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-        .limit(10)
-    }),
+    "ann_ivf_topk" -> ((s, dir) => ivfTopK(s, dir)),
 
     // ---- similarity: int8 vector quantization (the ANN compression
     //      path at scale — 4x smaller candidate tables; per-vector

@@ -26,7 +26,17 @@ object Verify {
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/pipeline_truth")
     locally {
       import spark.implicits._
-      SparkEntry.ivfCentroids(spark, sfDir).zipWithIndex
+      val cents = SparkEntry.ivfCentroids(spark, sfDir)
+      // dump-time near-tie guard: Spark's argmax and DuckDB's arg_max do
+      // not share float accumulation order, so a vector nearly equidistant
+      // to two trained centroids could assign differently per engine — a
+      // flaky parity diff, not a data bug. Fail loudly HERE instead.
+      val margin = SparkEntry.ivfMinMargin(spark, sfDir, cents)
+      require(margin > 1e-9,
+        f"IVF assignment near-tie: min best-vs-second centroid cosine gap " +
+          f"is $margin%.3g (<= 1e-9) — the dumped codebook could produce " +
+          "engine-dependent assignments; retrain with a different seed/k")
+      cents.zipWithIndex
         .map { case (c, i) => (i.toLong, c) }.toDF("cent_id", "cent")
         .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/ivf_centroids")
     }

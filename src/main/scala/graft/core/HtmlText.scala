@@ -12,6 +12,32 @@ package graft.core
   */
 object HtmlText {
 
+  /** Named entities beyond the XML five: the punctuation set ubiquitous on
+    * real crawl pages (em/en dash, curly quotes, ellipsis) plus common
+    * symbol/currency marks. Anything absent decodes to a space (documented
+    * lossy fallback, deterministic per input). The decoded punctuation
+    * feeds the downstream heuristics — e.g. `&hellip;` becomes the literal
+    * `…` the symbol-to-word-ratio rule counts. */
+  private val NamedEntities: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    Seq(
+      "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+      "apos" -> "'", "nbsp" -> " ",
+      "mdash" -> "—", "ndash" -> "–",
+      "rsquo" -> "’", "lsquo" -> "‘",
+      "ldquo" -> "“", "rdquo" -> "”",
+      "hellip" -> "…",
+      "copy" -> "©", "reg" -> "®", "trade" -> "™",
+      "bull" -> "•", "middot" -> "·",
+      "laquo" -> "«", "raquo" -> "»",
+      "deg" -> "°", "sect" -> "§", "para" -> "¶",
+      "euro" -> "€", "pound" -> "£", "cent" -> "¢",
+      "yen" -> "¥", "times" -> "×", "divide" -> "÷",
+      "plusmn" -> "±"
+    ).foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   def extract(html: String): String = {
     val n = html.length
     val sb = new java.lang.StringBuilder(n / 2)
@@ -83,19 +109,37 @@ object HtmlText {
           }
         }
       } else if (c == '&') {
+        // entity window 10 covers the longest numeric form (&#x10FFFF;)
+        // and every named entity in the table
         val semi = html.indexOf(';', i + 1)
-        if (semi > 0 && semi - i <= 8) {
-          html.substring(i + 1, semi) match {
-            case "amp" => sb.append('&')
-            case "lt" => sb.append('<')
-            case "gt" => sb.append('>')
-            case "quot" => sb.append('"')
-            case "apos" | "#39" => sb.append('\'')
-            case "nbsp" => sb.append(' ')
-            case other if other.startsWith("#") =>
-              try sb.appendCodePoint(Integer.parseInt(other.drop(1)))
-              catch { case _: NumberFormatException => sb.append(' ') }
-            case _ => sb.append(' ')
+        if (semi > 0 && semi - i <= 10) {
+          val name = html.substring(i + 1, semi)
+          if (name.length > 1 && name.charAt(0) == '#') {
+            // numeric character reference, decimal (&#8230;) or hex
+            // (&#x27; / &#X27;). Malformed and out-of-range references —
+            // &#1114200; (> U+10FFFF), &#-5;, lone surrogates — decode to
+            // a space instead of throwing: Integer.parseInt SUCCEEDS on
+            // out-of-range/negative values and appendCodePoint then threw
+            // an uncaught IllegalArgumentException that escaped the old
+            // NumberFormatException-only catch and failed the whole stage
+            // (an O1 per-document-isolation violation on real crawl data).
+            // Surrogate code points are also rejected: a lone surrogate in
+            // a JVM String is not UTF-8-encodable and would break the
+            // byte-identical extracted-text contract downstream.
+            val body = name.substring(1)
+            val cp: Int =
+              try {
+                if (body.length > 1 &&
+                    (body.charAt(0) == 'x' || body.charAt(0) == 'X'))
+                  Integer.parseInt(body.substring(1), 16)
+                else Integer.parseInt(body)
+              } catch { case _: NumberFormatException => -1 }
+            if (cp >= 0 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
+              sb.appendCodePoint(cp)
+            else sb.append(' ')
+          } else {
+            val rep = NamedEntities.get(name)
+            if (rep != null) sb.append(rep) else sb.append(' ')
           }
           i = semi + 1
         } else { sb.append(c); i += 1 }

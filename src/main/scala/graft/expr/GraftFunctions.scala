@@ -24,6 +24,7 @@ object GraftFunctions {
       else QualityRules(es.head,
         org.apache.spark.sql.catalyst.expressions.Literal("en")) },
     "graft_html_text" -> { es => HtmlTextExpr(es.head) },
+    "graft_html_text_safe" -> { es => HtmlTextSafeExpr(es.head) },
     "graft_cosine" -> { es => CosineSim(es(0), es(1)) },
     "graft_shingles" -> { es => ShingleExpr(es.head) },
     "graft_word_count" -> { es => WordCount(es.head) },
@@ -51,6 +52,8 @@ object GraftFunctions {
   def quality_rules(c: Column, lang: Column): Column =
     Shim.column(QualityRules(Shim.expression(c), Shim.expression(lang)))
   def html_text(c: Column): Column = Shim.column(HtmlTextExpr(Shim.expression(c)))
+  def html_text_safe(c: Column): Column =
+    Shim.column(HtmlTextSafeExpr(Shim.expression(c)))
   def cosine(a: Column, b: Column): Column =
     Shim.column(CosineSim(Shim.expression(a), Shim.expression(b)))
   def shingles(c: Column): Column = Shim.column(ShingleExpr(Shim.expression(c)))

@@ -60,12 +60,19 @@ object QualityPipeline {
       // routing it). Explicit trim char-set, NOT a regexp: this predicate
       // runs per row on the pipeline hot path and a \s regexp costs
       // regex-engine scans per document for nothing.
+      .withColumn("needs_extract",
+        (col("text").isNull ||
+          length(trim(col("text"), BlankChars)) === 0) &&
+          col("html").isNotNull)
+      // html extraction through the SAFE form: a failed extract on one
+      // garbage page degrades per row (empty text + hx.error, scored as
+      // keep = false) instead of failing the stage — the same O1 fault
+      // envelope the fused kernel has (round-3 verdict: the unguarded
+      // html_text path escaped it)
+      .withColumn("hx",
+        when(col("needs_extract"), html_text_safe(col("html"))))
       .withColumn("raw_text",
-        when(col("text").isNotNull &&
-          length(trim(col("text"), BlankChars)) > 0,
-          col("text"))
-          .otherwise(when(col("html").isNotNull, html_text(col("html")))
-            .otherwise(col("text"))))
+        when(col("needs_extract"), col("hx.text")).otherwise(col("text")))
       .filter(col("raw_text").isNotNull)
       .withColumn("p", page_process(col("raw_text")))
       .select(
@@ -81,7 +88,7 @@ object QualityPipeline {
         col("p.pii_matches").as("pii_matches"),
         col("p.n_redacted").as("n_redacted"),
         col("p.rule_lineage").as("rule_lineage"),
-        col("p.error").as("error"),
+        coalesce(col("hx.error"), col("p.error")).as("error"),
         to_date(col("warc_ts")).as("part_date"),
         // host for salting: any scheme, case-insensitive; URLs with no
         // extractable host hash the whole URL instead of all collapsing

@@ -61,6 +61,57 @@ class HtmlTextSpec extends AnyFunSuite {
     assert(out.contains("x") && out.contains("y"))
   }
 
+  test("hex and extended named entities decode; apos variants agree") {
+    assert(HtmlText.extract("<p>it&#x27;s &#X27;ok&#39; &apos;</p>")
+      .contains("it's 'ok' '"))
+    assert(HtmlText.extract("<p>a&mdash;b &ndash; c&hellip;</p>")
+      .contains("a—b – c…"))
+    assert(HtmlText.extract("<p>&ldquo;hi&rdquo; &rsquo; &lsquo;</p>")
+      .contains("“hi” ’ ‘"))
+    assert(HtmlText.extract("<p>&copy; 2026 &euro;5 &laquo;x&raquo;</p>")
+      .contains("© 2026 €5 «x»"))
+    // decimal still works, including above-BMP
+    assert(HtmlText.extract("<p>&#8230; &#128512;</p>")
+      .contains("… 😀"))
+    // max valid code point decodes; one past it degrades to a space
+    assert(HtmlText.extract("<p>&#x10FFFF;</p>").contains("􏿿"))
+  }
+
+  test("malformed numeric entities degrade to a space instead of throwing " +
+      "(round-3 task-killer regression)") {
+    // out-of-range (> U+10FFFF): Integer.parseInt succeeds, appendCodePoint
+    // used to throw an uncaught IllegalArgumentException
+    assert(HtmlText.extract("<p>a&#1114200;b</p>").contains("a b"))
+    // negative reference — same path
+    assert(HtmlText.extract("<p>a&#-5;b</p>").contains("a b"))
+    // lone surrogate: valid for appendCodePoint but not UTF-8-encodable —
+    // rejected to protect the byte-identical extracted-text contract
+    assert(HtmlText.extract("<p>a&#xD800;b</p>").contains("a b"))
+    assert(HtmlText.extract("<p>a&#57343;b</p>").contains("a b"))
+    // non-numeric garbage after '#'
+    assert(HtmlText.extract("<p>a&#x;b &#zz; c</p>").contains("a b   c"))
+    // unknown named entity still degrades to a space
+    assert(HtmlText.extract("<p>a&unknown;b</p>").contains("a b"))
+  }
+
+  test("entity-decoded punctuation feeds the heuristics: &hellip; counts " +
+      "toward the symbol-to-word ratio like a literal ellipsis") {
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val clean = HtmlText.extract(s"<p>the of and that. done. good. $base</p>")
+    val spammy = HtmlText.extract(
+      s"<p>the of and that. done. good. $base " +
+        (1 to 20).map(_ => "&hellip;").mkString(" ") + "</p>")
+    assert(spammy.contains("… …"), spammy.takeRight(80))
+    val rClean = Heuristics.evaluate(clean, "en")
+    val rSpam = Heuristics.evaluate(spammy, "en")
+    def sym(rs: Seq[RuleResult]) =
+      rs.find(_.rule == "symbol_to_word_ratio").get
+    assert(!sym(rClean).fired)
+    // 20 ellipses over ~87 words > 0.1 — the decoded entity form must trip
+    // the same rule the literal character does
+    assert(sym(rSpam).fired, sym(rSpam))
+  }
+
   test("script-heavy page extracts in linear time (regression)") {
     // 20k script tags; the old per-tag toLowerCase of the whole document
     // made this quadratic (~minutes). Budget is generous vs the ~100ms a

@@ -159,6 +159,92 @@ class OpsSpec extends AnyFunSuite {
       s"trained+multiprobe=$trainedRecall < naive=$naiveRecall")
   }
 
+  test("IVF recall curve (k=64, 32k vectors): recall@10 rises " +
+      "monotonically with nprobe 1 -> 2 -> 4 while the probed candidate " +
+      "fraction tracks nprobe/k") {
+    import graft.expr.GraftFunctions._
+    import spark.implicits._
+    val dim = 16
+    val nVec = 32768
+    val k = 64
+    val rnd = new scala.util.Random(42)
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    // 64 true clusters on the unit sphere + per-point gaussian noise —
+    // the shape an embedding table actually has (IVF's use case)
+    val trueCenters =
+      Array.fill(k)(normalize(Array.fill(dim)(rnd.nextGaussian())))
+    def point(): Array[Double] = {
+      val c = trueCenters(rnd.nextInt(k))
+      normalize(Array.tabulate(dim)(d => c(d) + 0.35 * rnd.nextGaussian()))
+    }
+    val points = Array.fill(nVec)(point())
+    val queries = Array.fill(20)(point()) // held out
+
+    // train on a bounded sample (the scale contract: codebook cost is
+    // constant w.r.t. table size), assign the full table via the native
+    // expression — the same engine path ann_ivf_topk uses
+    val codebook = graft.core.KMeans.trainCosine(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(points.take(8192)),
+      k = k, iters = 8, seed = 7L)
+    val cbLit = typedLit(codebook.map(_.toSeq).toSeq)
+    val assignments = points.zipWithIndex
+      .map { case (p, i) => (i.toLong, p.toSeq) }.toSeq
+      .toDF("vec_id", "emb")
+      .withColumn("cent_id", ivf_assign(col("emb"), cbLit))
+      .select("vec_id", "cent_id").collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val members: Map[Long, Array[Int]] = assignments.toSeq
+      .groupBy(_._2).map { case (c, xs) => c -> xs.map(_._1).toArray }
+
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }
+      s // unit vectors: dot == cosine
+    }
+    def top10(cand: Iterator[Int], q: Array[Double]): Set[Int] =
+      cand.map(i => (i, cos(points(i), q))).toArray
+        .sortBy { case (i, s) => (-s, i) }.take(10).map(_._1).toSet
+
+    val nprobes = Seq(1, 2, 4)
+    val (recallByNp, fracByNp) = {
+      val recalls = scala.collection.mutable.Map(nprobes.map(_ -> 0.0): _*)
+      val fracs = scala.collection.mutable.Map(nprobes.map(_ -> 0.0): _*)
+      queries.foreach { q =>
+        val brute = top10(points.indices.iterator, q)
+        val ranked = codebook.zipWithIndex
+          .map { case (c, i) => (i.toLong, cos(normalize(c), q)) }
+          .sortBy { case (i, s) => (-s, i) }.map(_._1)
+        nprobes.foreach { np =>
+          val cand = ranked.take(np).flatMap(c =>
+            members.getOrElse(c, Array.empty[Int]))
+          recalls(np) += top10(cand.iterator, q).count(brute).toDouble / 10
+          fracs(np) += cand.length.toDouble / nVec
+        }
+      }
+      (recalls.map { case (np, s) => np -> s / queries.length },
+        fracs.map { case (np, s) => np -> s / queries.length })
+    }
+
+    val (r1, r2, r4) = (recallByNp(1), recallByNp(2), recallByNp(4))
+    info(f"recall@10: nprobe=1 $r1%.3f, 2 $r2%.3f, 4 $r4%.3f; " +
+      f"probed frac: ${fracByNp(1)}%.4f / ${fracByNp(2)}%.4f / " +
+      f"${fracByNp(4)}%.4f")
+    // recall rises monotonically with nprobe, strictly overall
+    assert(r1 <= r2 && r2 <= r4, s"recall not monotone: $r1 $r2 $r4")
+    assert(r4 > r1, s"nprobe=4 gained nothing over 1: $r1 vs $r4")
+    assert(r4 >= 0.7, s"nprobe=4 recall too low: $r4")
+    // the probed candidate fraction tracks nprobe/k — the whole point of
+    // IVF (probe cells are the query's own neighborhood, so they can run
+    // slightly above the perfectly-balanced nprobe/k; 1.5x bounds it)
+    nprobes.foreach { np =>
+      assert(fracByNp(np) <= 1.5 * np.toDouble / k,
+        s"nprobe=$np probed ${fracByNp(np)} > 1.5 * $np/$k")
+    }
+  }
+
   test("rpc boundary: one client per task, batched, retried, row-isolated") {
     import spark.implicits._
     RpcProbe.reset()

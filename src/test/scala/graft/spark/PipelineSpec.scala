@@ -120,6 +120,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(byUrl("not-a-url-at-all")._2 != emptyBucket)
   }
 
+  test("one poisoned html row (malformed numeric entities) does not fail " +
+      "the job — O1 fault envelope covers the extract branch") {
+    import spark.implicits._
+    val killer = "<p>before &#1114200; mid &#-5; &#xD800; after</p>"
+    val good = "<p>" + (1 to 80).map(i => s"word$i").mkString(" ") +
+      ". the of and that. one. two. three.</p>"
+    val pages = Seq(
+      ("http://a.example/page/1", null.asInstanceOf[String],
+        killer.getBytes("UTF-8")),
+      ("http://a.example/page/2", null.asInstanceOf[String],
+        good.getBytes("UTF-8")))
+      .toDF("url", "text", "html")
+      .withColumn("warc_ts", lit("2025-01-01 00:00:00").cast("timestamp"))
+      .withColumn("lang", lit("en"))
+    val rows = QualityPipeline(pages).orderBy("url").collect()
+    assert(rows.length == 2, "both rows must survive the stage")
+    val bad = rows(0)
+    // the formerly-lethal entities decode to spaces; the row is scored,
+    // not thrown
+    val extracted = bad.getAs[String]("extracted_text")
+    assert(extracted.contains("before") && extracted.contains("after"))
+    assert(!bad.getAs[Boolean]("keep")) // too short — dropped, not crashed
+    assert(rows(1).getAs[String]("extracted_text").contains("word80"))
+  }
+
+  test("html_text_safe degrades a per-row extraction failure to " +
+      "(empty text, error) instead of throwing (O1 per-row isolation)") {
+    // force the failure path: a child of unexpected runtime type makes the
+    // extraction wrapper throw internally; the catch must turn that into a
+    // degraded row, proving one bad row can never fail the stage
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = graft.expr.HtmlTextSafeExpr(Literal(42))
+    val r = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(r.getUTF8String(0).toString == "")
+    assert(r.getUTF8String(1).toString.startsWith("HtmlExtractError:"))
+    // and the happy path carries no error
+    val ok = graft.expr.HtmlTextSafeExpr(Literal("<p>hi</p>"))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(ok.getUTF8String(0).toString.contains("hi"))
+    assert(ok.isNullAt(1))
+  }
+
   test("lineage: rule_lineage carries every rule with value + threshold") {
     val row = out.filter(col("keep")).select(col("rule_lineage")).head()
     val rules = row.getSeq[org.apache.spark.sql.Row](0)
