@@ -35,6 +35,22 @@ object Tokenizer {
     out.toIndexedSeq
   }
 
+  /** Word count under the same contract as [[words]], without building the
+    * word list — no substring allocation, one char pass. Called from both
+    * the interpreted eval and the generated code of `graft_word_count`
+    * (the codegen target must be a static-dispatch JVM method). */
+  def wordCount(text: String): Long = {
+    var i = 0
+    val n = text.length
+    var c = 0L
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      if (i < n) c += 1
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+    }
+    c
+  }
+
   /** Primitive-array form of [[tokenize]]: one fused pass producing
     * (fullText, words, startOffsets) with `end = start + word.length`
     * implied. The fused pipeline uses this and materializes [[WordToken]]

@@ -99,6 +99,19 @@ abstract class StringKernelExpression extends UnaryExpression
   override def nullIntolerant: Boolean = true
 }
 
+/** Base for string-input kernels with REAL codegen: subclasses implement
+  * `doGenCode` as a direct static call, so they stay INSIDE whole-stage
+  * codegen spans. Deliberately NOT a `CodegenFallback`: the WSCG planner
+  * (`CollapseCodegenStages.supportCodegen`) excludes any plan node
+  * containing a CodegenFallback expression from the generated span — an
+  * overridden doGenCode on a CodegenFallback subclass is never called
+  * (measured: the project dropped out of the WSCG subtree). */
+abstract class StringKernelCodegenExpression extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+}
+
 /** `graft_extract_text(text)` — canonical full_text rebuild (G1 contract:
   * blank-skip, single-space rejoin; byte-identical per input). */
 case class ExtractText(child: Expression) extends StringKernelExpression {
@@ -352,11 +365,23 @@ case class HtmlTextSafeExpr(child: Expression) extends UnaryExpression
   override def prettyName: String = "graft_html_text_safe"
 }
 
-/** `graft_word_count(text)` — tokenizer-contract word count (BIGINT). */
-case class WordCount(child: Expression) extends StringKernelExpression {
+/** `graft_word_count(text)` — tokenizer-contract word count (BIGINT).
+  *
+  * Real `doGenCode` (not CodegenFallback): the generated code is a direct
+  * static call inside whole-stage codegen — no boxed-row `eval` dispatch,
+  * no fallback expression reference. The measured WSCG headroom for
+  * simple scalar kernels lives in BENCH/BASELINE.md; the same pattern
+  * applies to any `graft_*` kernel whose result is a primitive. */
+case class WordCount(child: Expression) extends StringKernelCodegenExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
-    Tokenizer.words(v.asInstanceOf[UTF8String].toString).length.toLong
+    Tokenizer.wordCount(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.core.Tokenizer.wordCount($c.toString())")
   override protected def withNewChildInternal(c: Expression): WordCount = copy(c)
   override def prettyName: String = "graft_word_count"
 }
@@ -466,10 +491,17 @@ case class IvfAssign(left: Expression, right: Expression)
   * BIGINT). The merge table is a JVM singleton trained deterministically
   * from SeedCorpus, and the DuckDB oracle re-applies the identical merges
   * as a literal replace chain ([[graft.core.Bpe.tokenCountSql]]). */
-case class BpeCount(child: Expression) extends StringKernelExpression {
+case class BpeCount(child: Expression) extends StringKernelCodegenExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     Bpe.countText(v.asInstanceOf[UTF8String].toString)
+  // direct static call inside WSCG — see WordCount.doGenCode
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.core.Bpe.countText($c.toString())")
   override protected def withNewChildInternal(c: Expression): BpeCount = copy(c)
   override def prettyName: String = "graft_bpe_count"
 }

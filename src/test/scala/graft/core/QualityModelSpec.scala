@@ -45,6 +45,58 @@ class QualityModelSpec extends AnyFunSuite {
     assert(NGramLM.perplexity(t, "de") < NGramLM.perplexity(t, "es"))
   }
 
+  test("langid HOLDOUT accuracy >= 0.95: validation corpus from seeds " +
+      "disjoint from training (42L+li) and from PagesSynth's " +
+      "retry-until-agrees loop — closes the construction-consistency " +
+      "circularity of the langid_pred oracle") {
+    // 200 docs per language, 40-160 words each, seeded from a stream no
+    // other generator uses; NO retry/validation — first sample is final
+    SeedCorpus.languages.foreach { lang =>
+      val li = SeedCorpus.languages.indexOf(lang)
+      var correct = 0
+      val nDocs = 200
+      (0 until nDocs).foreach { d =>
+        val rnd = new java.util.Random(0x601d0e77L + li * 100003L + d)
+        val n = 40 + rnd.nextInt(121)
+        val text = (1 to n).map { i =>
+          val w = SeedCorpus.sampleWord(lang, rnd)
+          if (i % 12 == 0) w + "." else w
+        }.mkString(" ")
+        if (LangId.predict(text)._1 == lang) correct += 1
+      }
+      val acc = correct.toDouble / nDocs
+      assert(acc >= 0.95, f"holdout langid accuracy for $lang: $acc%.3f")
+    }
+  }
+
+  test("perplexity HOLDOUT margin: on the same disjoint-seed validation " +
+      "corpus, clean in-language text scores under the keep gate and " +
+      "gibberish scores far above it, for every language") {
+    SeedCorpus.languages.foreach { lang =>
+      val li = SeedCorpus.languages.indexOf(lang)
+      val ppls = (0 until 50).map { d =>
+        val rnd = new java.util.Random(0x9e77e8b1L + li * 100003L + d)
+        val text = (1 to 120).map(_ => SeedCorpus.sampleWord(lang, rnd))
+          .mkString(" ")
+        NGramLM.perplexity(text, lang)
+      }.sorted
+      val median = ppls(ppls.length / 2)
+      assert(median <= Heuristics.PerplexityMax * 0.8,
+        s"$lang holdout median ppl $median above the generator gate")
+      // gibberish under the SAME model: random consonant words (full OOV)
+      val rnd = new java.util.Random(0xbadc0de5L + li)
+      val gib = (1 to 120).map { _ =>
+        (1 to 5).map(_ => "bcdfghjklmnpqrstvwz".charAt(rnd.nextInt(19)))
+          .mkString
+      }.mkString(" ")
+      val gibPpl = NGramLM.perplexity(gib, lang)
+      assert(gibPpl > 2 * median,
+        s"$lang gibberish ppl $gibPpl not above 2x clean median $median")
+      assert(gibPpl > Heuristics.PerplexityMax,
+        s"$lang gibberish ppl $gibPpl under the drop gate")
+    }
+  }
+
   test("heuristics: clean doc keeps, planted defects drop the right rule") {
     val clean = {
       val rnd = new java.util.Random(123)

@@ -200,6 +200,63 @@ class StreamingSpec extends AnyFunSuite {
       s"expected A re-admitted after cap eviction, got $out")
   }
 
+  test("stateful dedup at realistic key cardinality: 100k distinct urls, " +
+      "state rows stay == keys (not keys x batches), memory flat once the " +
+      "per-key cap is reached, batch latency flat") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_dedup_scale").toString
+    val nKeys = 100000
+    def write(batch: Int, mode: String): Unit =
+      spark.range(nKeys)
+        .select(concat(lit("u"), col("id")).as("url"),
+          concat(lit(s"content-$batch-"), col("id")).as("text"))
+        .write.mode(mode).parquet(s"$dir/in")
+    write(0, "overwrite")
+    val schema = spark.read.parquet(s"$dir/in").schema
+
+    final case class BatchStats(stateRows: Long, stateBytes: Long,
+                                wallMs: Long)
+    def runOnce(): BatchStats = {
+      val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamingQuality
+        .dedupFirstSeen(stream, maxFingerprints = 2)
+        .toDF("url", "text")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        // Trigger.Once: see the non-termination note in the first dedup test
+        .trigger(Trigger.Once()).start()
+      awaitDone(q)
+      val wall = (System.nanoTime() - t0) / 1000000
+      val so = q.lastProgress.stateOperators(0)
+      BatchStats(so.numRowsTotal, so.memoryUsedBytes, wall)
+    }
+
+    // every batch re-crawls ALL 100k urls with CHANGED content — the
+    // adversarial case where unbounded dedup state grows keys x batches
+    val stats = (0 to 3).map { b =>
+      if (b > 0) write(b, "append")
+      runOnce()
+    }
+    // all-fresh content: every row passes every batch
+    assert(spark.read.parquet(s"$dir/out").count() == 4L * nKeys)
+
+    // state rows == number of keys after every batch (one state entry per
+    // key, never per (key, batch))
+    stats.foreach(s => assert(s.stateRows == nKeys,
+      s"state rows ${s.stateRows} != $nKeys"))
+    // per-key cap of 2 is reached at batch 1; state MEMORY must be flat
+    // afterwards (batch 3 vs batch 1), not growing with batches seen
+    assert(stats(3).stateBytes <= (stats(1).stateBytes * 1.3).toLong,
+      s"state bytes grew past the cap: ${stats.map(_.stateBytes)}")
+    // batch latency flat: the last all-rewrite batch costs no more than
+    // 3x the second (generous bound for shared-host noise — the failure
+    // mode guarded against is superlinear growth in state size)
+    assert(stats(3).wallMs <= stats(1).wallMs * 3,
+      s"batch latency not flat: ${stats.map(_.wallMs)}")
+  }
+
   test("watermarked tumbling-window aggregation over events") {
     val dir = Files.createTempDirectory("stream_events").toString
     // driver parquet carries TIMESTAMP_NTZ; watermarks need TIMESTAMP (LTZ)
