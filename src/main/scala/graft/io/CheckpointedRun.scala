@@ -107,22 +107,36 @@ object CheckpointedRun {
         require(maxBucket < numPartitions,
           s"prebucketed input at $path has _bucket=$maxBucket >= " +
             s"numPartitions=$numPartitions — bucket scheme mismatch")
-        val pre = spark.read.parquet(path)
         // a SMALLER-P or differently-keyed layout also passes the dir
-        // checks — verify actual membership on a bounded sample (any
-        // mismatched scheme puts ~(1-1/P) of rows in the wrong bucket, so
-        // 1000 rows catch it with near-certainty at a cost independent of
-        // input size; a full-scan check would defeat zero-copy)
-        val bad = pre.select(col(keyCol), col("_bucket"))
-          .limit(1000)
-          .filter(pmod(xxhash64(col(keyCol)), lit(numPartitions))
-            .cast("long") =!= col("_bucket").cast("long"))
-          .count()
-        require(bad == 0,
-          s"prebucketed input at $path is not bucketed by " +
-            s"pmod(xxhash64($keyCol), $numPartitions): $bad of a " +
-            "1000-row sample land outside their directory")
-        pre
+        // checks — verify actual membership on a bounded PER-BUCKET sample
+        // (any mismatched scheme puts ~(1-1/P) of rows in the wrong
+        // bucket). Sampling a few rows from EVERY _bucket directory, not
+        // a global limit(N) — which Spark satisfies from the first file(s)
+        // and so can draw all N rows from one directory — also catches a
+        // layout where only SOME bucket directories are mis-keyed. Cost:
+        // one limit-32 read per directory (first row group only),
+        // independent of input size; a full-scan check would defeat
+        // zero-copy.
+        val ds2 = Files.list(Paths.get(path))
+        val bucketDirs =
+          try ds2.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("_bucket="))
+            .map(p => (p.getFileName.toString.stripPrefix("_bucket=").toLong,
+              p.toString))
+            .toSeq.sortBy(_._1)
+          finally ds2.close()
+        bucketDirs.foreach { case (k, dir) =>
+          val bad = spark.read.parquet(dir)
+            .select(col(keyCol)).limit(32)
+            .filter(pmod(xxhash64(col(keyCol)), lit(numPartitions))
+              .cast("long") =!= k)
+            .count()
+          require(bad == 0,
+            s"prebucketed input at $path is not bucketed by " +
+              s"pmod(xxhash64($keyCol), $numPartitions): $bad sampled " +
+              s"row(s) in _bucket=$k land outside their directory")
+        }
+        spark.read.parquet(path)
       case None =>
         val stagedPath = Paths.get(root, "_staged", s"run=$runId").toString
         if (!Files.exists(Paths.get(stagedPath, "_SUCCESS"))) {

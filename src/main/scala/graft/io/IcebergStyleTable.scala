@@ -49,21 +49,60 @@ object IcebergStyleTable {
   private def dataDir(root: String): Path = Paths.get(root, "data")
   private def genName(version: Int): String = s"g$version"
 
+  /** A claim not followed by its committed snapshot within this lease is
+    * treated as abandoned by a DEAD committer (SIGKILL/OOM between claim
+    * and hint flip leaves no JVM catch to release it) and is reclaimable —
+    * without expiry one crashed writer would wedge the table forever,
+    * since every later committer recomputes the same next version and hits
+    * the stale claim. The lease must exceed the longest plausible
+    * write-generation + metadata time for the deployment. */
+  final val ClaimLeaseMillis: Long =
+    sys.env.get("GRAFT_CLAIM_LEASE_MS").map(_.toLong)
+      .getOrElse(15L * 60L * 1000L)
+
   /** Atomically claim version `version` for this committer. Two concurrent
     * writers that both read currentVersion = N-1 would otherwise write the
     * same generation dir (mode overwrite) and the last hint flip would
     * silently discard the other's commit — the compare-and-swap here makes
     * the loser fail loudly instead. `Files.createFile` is atomic on POSIX
     * (O_CREAT|O_EXCL); on a real object store this maps to a conditional
-    * PUT / metastore CAS. */
-  private def claimVersion(root: String, version: Int): Unit =
-    try Files.createFile(metaDir(root).resolve(s"claim-$version"))
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new java.util.ConcurrentModificationException(
-          s"snapshot version $version at $root is already claimed by " +
-            "another committer; re-read currentVersion and retry")
+    * PUT / metastore CAS.
+    *
+    * Stale-claim recovery: if the existing claim's version was never
+    * committed AND the claim file is older than [[ClaimLeaseMillis]], the
+    * claim is expired — it is atomically RENAMED to a tombstone (rename,
+    * not delete+create: exactly one reclaimer can win the rename, so two
+    * concurrent reclaimers cannot both end up owning the version) and the
+    * claim is retried once. A reclaimer that loses the post-rename
+    * re-claim race throws like any other loser. */
+  private def claimVersion(root: String, version: Int): Unit = {
+    val claim = metaDir(root).resolve(s"claim-$version")
+    def tryCreate(): Boolean =
+      try { Files.createFile(claim); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    def fail(): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot version $version at $root is already claimed by " +
+          "another committer; re-read currentVersion and retry")
+    if (!tryCreate()) {
+      val committed =
+        Files.exists(metaDir(root).resolve(s"snap-$version.json")) ||
+          currentVersion(root) >= version
+      val ageMs =
+        try System.currentTimeMillis() -
+          Files.getLastModifiedTime(claim).toMillis
+        catch { case _: java.io.IOException => 0L }
+      if (!committed && ageMs > ClaimLeaseMillis) {
+        val tomb = metaDir(root)
+          .resolve(s"claim-$version.stale-${System.nanoTime()}")
+        val won =
+          try { Files.move(claim, tomb,
+            StandardCopyOption.ATOMIC_MOVE); true }
+          catch { case _: java.io.IOException => false }
+        if (!(won && tryCreate())) fail()
+      } else fail()
     }
+  }
 
   /** Run the commit body under a claimed version; a FAILED commit releases
     * its claim so the version number stays committable (without this, one

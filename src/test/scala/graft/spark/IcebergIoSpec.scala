@@ -131,6 +131,39 @@ class IcebergIoSpec extends AnyFunSuite {
     assert(IcebergStyleTable.read(spark, root).count() == 100)
   }
 
+  test("a claim abandoned by a DEAD committer (no snapshot, older than the " +
+      "lease) is reclaimed — a SIGKILL between claim and hint flip cannot " +
+      "wedge the table forever") {
+    val root = tmpDir("caslease")
+    val df = QualityPipeline(PagesSynth.pages(spark, 100, 2))
+    IcebergStyleTable.append(df, root, Seq("part_date"), "url", 8, 2)
+    // a committer claimed version 2 then died without a JVM catch: the
+    // claim file exists, no snap-2.json, and the lease has long lapsed
+    val stale = Paths.get(root, "metadata", "claim-2")
+    Files.createFile(stale)
+    Files.setLastModifiedTime(stale, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 60L * 60L * 1000L))
+    // the next committer expires the stale claim and commits v2
+    val snap = IcebergStyleTable.append(df, root, Seq("part_date"), "url", 8, 2)
+    assert(snap.version == 2)
+    assert(IcebergStyleTable.currentVersion(root) == 2)
+    assert(IcebergStyleTable.read(spark, root).count() == 200)
+    // the expired claim was tombstoned (audit trail), not silently deleted
+    import scala.jdk.CollectionConverters._
+    val tombs = Files.list(Paths.get(root, "metadata")).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("claim-2.stale-")).toSeq
+    assert(tombs.nonEmpty)
+
+    // but a LIVE claim (fresh mtime, uncommitted) is still protected: the
+    // lease guards only abandoned claims
+    Files.createFile(Paths.get(root, "metadata", "claim-3"))
+    intercept[java.util.ConcurrentModificationException] {
+      IcebergStyleTable.append(df, root, Seq("part_date"), "url", 8, 2)
+    }
+    assert(IcebergStyleTable.currentVersion(root) == 2)
+  }
+
   test("a FAILED commit releases its version claim — the table is not " +
       "wedged for later committers") {
     val root = tmpDir("casfail")
@@ -180,6 +213,20 @@ class IcebergIoSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       CheckpointedRun.run(spark, input, "url", transform, tmpDir("zc_bad"),
         "z3", numPartitions = 4, prebucketed = Some(pre))
+    }
+
+    // a layout where only SOME bucket directories are mis-keyed must also
+    // fail: the membership sample draws from EVERY _bucket directory (a
+    // global limit() could satisfy itself entirely from healthy buckets)
+    val pre2 = tmpDir("prebucketed_partial")
+    input.withColumn("_bucket", pmod(xxhash64(col("url")), lit(8)))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(pre2)
+    input.filter(pmod(xxhash64(col("url")), lit(8)) === 0)
+      .write.mode("overwrite").parquet(s"$pre2/_bucket=5")
+    intercept[IllegalArgumentException] {
+      CheckpointedRun.run(spark, input, "url", transform,
+        tmpDir("zc_partial"), "z4", numPartitions = 8,
+        prebucketed = Some(pre2))
     }
   }
 

@@ -14,6 +14,27 @@ class OpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("oracle whitespace-parity contract: testdata document text carries " +
+      "no char where Java isWhitespace and RE2 \\s diverge") {
+    // Spark-side word splits use Character.isWhitespace while the DuckDB
+    // oracles split on RE2 '\\s+'; the two classes diverge on U+000B,
+    // U+001C-001F, and the Unicode space separators (U+1680, U+2000-200A,
+    // U+2028/29, U+205F, U+3000). Parity holds because testdata text never
+    // contains them — this gate turns that silent assumption into a loud
+    // failure on any future testdata regen (round-3 advice #1).
+    val divergent = "[\\x0B\\x1C-\\x1F\\u1680\\u2000-\\u200A" +
+      "\\u2028\\u2029\\u205F\\u3000]"
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(d))) {
+        val n = spark.read.parquet(s"$d/documents.parquet")
+          .filter(col("text").rlike(divergent)).count()
+        assert(n == 0,
+          s"$d has $n doc(s) with Java-vs-RE2 divergent whitespace — " +
+            "the \\s+-based oracle mirrors would silently diverge")
+      }
+    }
+  }
+
   test("dedup_exact recovers exactly the planted duplicate clusters") {
     val rows = SparkEntry.queries("dedup_exact")(spark, dir).collect()
     // doc_id % 11 < 2 over 500 docs, 3 dup keys (doc_id % 3)
