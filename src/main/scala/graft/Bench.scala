@@ -139,8 +139,12 @@ object Bench {
       scala.collection.mutable.ArrayBuffer[Long]()).toMap
     val kernelDocs = levels.map(l => l ->
       scala.collection.mutable.ArrayBuffer[Long]()).toMap
-    var stage32Nanos = Map.empty[String, Long]
-    var stage32Docs = 0L
+    // per-cycle stage maps so the profile can be restricted to CLEAN
+    // cycles at the end (StageTimers measure thread-wall inside the
+    // kernel, which preemption inflates — a stolen window would otherwise
+    // contaminate the per-stage µs/doc exactly like the headline times)
+    val stage32Cycles =
+      scala.collection.mutable.ArrayBuffer[(Map[String, Long], Long)]()
 
     def runCycle(cycle: Int): Unit = {
       val cst0 = stealJiffies
@@ -159,13 +163,7 @@ object Bench {
           graft.core.StageTimers.snapshot())
         kernelNanos(level) += stageNanos.values.sum
         kernelDocs(level) += nDocs
-        if (level == 32) {
-          // per-stage CPU profile accumulated over all level-32 timed
-          // passes (BASELINE.json per-stage metrics) — us/doc
-          stage32Nanos = graft.core.StageTimers.stages.map(st =>
-            st -> (stage32Nanos.getOrElse(st, 0L) + stageNanos(st))).toMap
-          stage32Docs += nDocs
-        }
+        if (level == 32) stage32Cycles += ((stageNanos, nDocs))
         s.stop()
       }
       cycleSteal += stealJiffies - cst0
@@ -199,10 +197,14 @@ object Bench {
     val bests = levels.map(l => l -> cycleTimes(l).min).toMap
     levels.foreach(l => results(s"pipeline_local$l") = times(l))
     levels.foreach(l => results(s"pipeline_local${l}_best") = bests(l))
+    // stage profile over CLEAN level-32 passes only — same selection as
+    // the headline medians
+    val stage32Docs = used.map(stage32Cycles(_)._2).sum
     graft.core.StageTimers.stages.foreach { st =>
+      val ns = used.map(c => stage32Cycles(c)._1.getOrElse(st, 0L))
+        .map(BigInt(_)).sum
       results(s"stage_${st}_us_per_doc") =
-        if (stage32Docs == 0) 0.0
-        else stage32Nanos.getOrElse(st, 0L) / 1e3 / stage32Docs
+        if (stage32Docs == 0) 0.0 else (ns.toDouble / 1e3) / stage32Docs
     }
     // efficiency pairs computed WITHIN each cycle; headline = median over
     // clean cycles, full per-cycle arrays reported as the spread

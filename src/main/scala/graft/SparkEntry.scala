@@ -342,6 +342,22 @@ object SparkEntry {
           .otherwise(lit("direct")).as("route"))
         .orderBy("doc_id")),
 
+    // ---- P1 extract stage: html→text entity decoding, byte-exact vs a
+    //      DuckDB-constructed expected string. The html is built from
+    //      doc_id so the oracle can rebuild the EXPECTED extraction
+    //      literally: decimal + hex numeric refs, named entities (mdash /
+    //      hellip — the crawl-punctuation set added in round 4), and the
+    //      two malformed classes that used to kill the stage (out-of-range
+    //      numeric, unknown name) which must decode to a space. Tag
+    //      semantics pinned: <p> emits a newline, a closing tag a space. ----
+    "html_entities" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("h",
+        expr("concat('<p>a&#', cast(65 + doc_id % 26 as string), " +
+          "';b&#x27;c&mdash;d&hellip;e&#1114200;f&bogus;g</p>')"))
+      d.select(col("doc_id"), html_text(col("h")).as("extracted"))
+        .orderBy("doc_id")
+    }),
+
     // ---- G1 + P2: tokenizer with running offsets, blank-filtered ----
     "g1_tokenize_stats" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -978,6 +994,14 @@ object SparkEntry {
       (s"SELECT doc_id, CASE WHEN length(trim(text, " +
         s"'${QualityPipeline.BlankChars}')) = 0 THEN 'extract' " +
         "ELSE 'direct' END AS route FROM documents ORDER BY doc_id"),
+
+    // expected extraction rebuilt literally: block <p> → newline, closing
+    // tag → trailing space, entities decoded (chr(39) = the hex-ref
+    // apostrophe; — and … literal UTF-8; malformed refs → space)
+    "html_entities" ->
+      ("SELECT doc_id, chr(10) || 'a' || chr(65 + CAST(doc_id % 26 AS INT)) " +
+        "|| 'b' || chr(39) || 'c—d…e f g ' AS extracted " +
+        "FROM documents ORDER BY doc_id"),
 
     "g1_tokenize_stats" ->
       ("SELECT doc_id, " +

@@ -2,7 +2,7 @@ package graft.expr
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -11,12 +11,21 @@ import graft.core._
 
 /** Custom Catalyst expressions for the quality-filter engine.
   *
-  * Design (SURVEY §2.8): these are native `Expression`s, not Scala UDFs —
-  * they ride inside whole-stage codegen via `CodegenFallback`, their
-  * pattern/model state is JVM-singleton (`graft.core` lazy vals compile
-  * once per executor, the analog of the reference's class-load-time
-  * `re.compile`, backend/pdf/PIIDetector.py:63-68), and they are
-  * null-intolerant (null in → null out) so Catalyst can reason about them.
+  * Design (SURVEY §2.8): these are native `Expression`s, not Scala UDFs.
+  * As of round 4 every kernel has REAL whole-stage codegen — `doGenCode`
+  * emits a direct static call into [[Kernels]] — rather than
+  * `CodegenFallback`. The distinction matters structurally, not just per
+  * call: `CollapseCodegenStages.supportCodegen` excludes a plan node
+  * containing ANY CodegenFallback expression from the generated span, so
+  * a fallback `graft_page_process` pushed the WHOLE pipeline projection
+  * (including its cheap built-in columns) out of WSCG into the
+  * interpreted `ProjectExec`. With static-call codegen the full
+  * scan→project pipeline compiles into one generated stage.
+  *
+  * Model/pattern state stays JVM-singleton (`graft.core` lazy vals
+  * compile once per executor, the analog of the reference's
+  * class-load-time `re.compile`, backend/pdf/PIIDetector.py:63-68), and
+  * every expression is null-intolerant (null in → null out).
   *
   * `regexp_extract_all` cannot express the fused scan because it has no
   * per-alternative attribution and no offsets — hence [[PiiExtractAll]]
@@ -51,6 +60,10 @@ object GraftSchemas {
   val langStruct: StructType = StructType(Seq(
     StructField("lang", StringType, nullable = false),
     StructField("conf", DoubleType, nullable = false)))
+
+  val htmlSafeStruct: StructType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("error", StringType, nullable = true)))
 
   /** Output of the fused per-document pass. */
   val pageProcessStruct: StructType = StructType(Seq(
@@ -92,76 +105,33 @@ object GraftSchemas {
     }.toArray[Any])
 }
 
-/** Base for string-input expressions evaluated via the core kernel. */
-abstract class StringKernelExpression extends UnaryExpression
-    with ExpectsInputTypes with CodegenFallback {
-  override def inputTypes = Seq(StringType)
-  override def nullIntolerant: Boolean = true
-}
+/** Static kernel entry points shared by the interpreted `eval` path and
+  * the generated code — one body per kernel, two call sites. Generated
+  * calls must be static-dispatch and resolvable by Janino through the
+  * executor classloader, which plain-object forwarder methods are.
+  * Overloads on the input type (UTF8String vs byte[]) let the html
+  * kernels accept BINARY or STRING children with the overload resolved
+  * statically from the child's declared Java type. */
+object Kernels {
 
-/** Base for string-input kernels with REAL codegen: subclasses implement
-  * `doGenCode` as a direct static call, so they stay INSIDE whole-stage
-  * codegen spans. Deliberately NOT a `CodegenFallback`: the WSCG planner
-  * (`CollapseCodegenStages.supportCodegen`) excludes any plan node
-  * containing a CodegenFallback expression from the generated span — an
-  * overridden doGenCode on a CodegenFallback subclass is never called
-  * (measured: the project dropped out of the WSCG subtree). */
-abstract class StringKernelCodegenExpression extends UnaryExpression
-    with ExpectsInputTypes {
-  override def inputTypes = Seq(StringType)
-  override def nullIntolerant: Boolean = true
-}
+  def extractText(v: UTF8String): UTF8String =
+    UTF8String.fromString(Tokenizer.tokenizeArrays(v.toString)._1)
 
-/** `graft_extract_text(text)` — canonical full_text rebuild (G1 contract:
-  * blank-skip, single-space rejoin; byte-identical per input). */
-case class ExtractText(child: Expression) extends StringKernelExpression {
-  override def dataType: DataType = StringType
-  override def nullSafeEval(v: Any): Any =
-    UTF8String.fromString(Tokenizer.tokenize(v.asInstanceOf[UTF8String].toString)._1)
-  override protected def withNewChildInternal(c: Expression): ExtractText = copy(c)
-  override def prettyName: String = "graft_extract_text"
-}
+  def piiExtract(v: UTF8String): ArrayData =
+    GraftSchemas.matchesToCatalyst(PiiDetector.extract(v.toString))
 
-/** `graft_pii_extract(full_text)` — fused multi-pattern scan + refine +
-  * sort; ARRAY<STRUCT<pii_type,start,end,text>> (D1-D3). */
-case class PiiExtractAll(child: Expression) extends StringKernelExpression {
-  override def dataType: DataType =
-    ArrayType(GraftSchemas.matchStruct, containsNull = false)
-  override def nullSafeEval(v: Any): Any =
-    GraftSchemas.matchesToCatalyst(
-      PiiDetector.extract(v.asInstanceOf[UTF8String].toString))
-  override protected def withNewChildInternal(c: Expression): PiiExtractAll = copy(c)
-  override def prettyName: String = "graft_pii_extract"
-}
-
-/** `graft_pii_process(text)` — the whole document-local redaction pipeline
-  * in one pass: tokenize → scan/refine/sort → span join → scrub.
-  * STRUCT<full_text, scrubbed_text, pii_matches, n_redacted>. */
-case class PiiProcess(child: Expression) extends StringKernelExpression {
-  override def dataType: DataType = GraftSchemas.piiProcessStruct
-  override def nullSafeEval(v: Any): Any = {
+  def piiProcess(v: UTF8String): InternalRow = {
     val (full, matches, labeled, scrubbed) =
-      PiiDetector.detectAndScrub(v.asInstanceOf[UTF8String].toString)
+      PiiDetector.detectAndScrub(v.toString)
     InternalRow(
       UTF8String.fromString(full),
       UTF8String.fromString(scrubbed),
       GraftSchemas.matchesToCatalyst(matches),
       labeled.count(_.detectedAs.isDefined))
   }
-  override protected def withNewChildInternal(c: Expression): PiiProcess = copy(c)
-  override def prettyName: String = "graft_pii_process"
-}
 
-/** `graft_page_process(text, lang)` — the fused whole-pipeline pass:
-  * tokenize once → PII scan/refine/join/scrub + langid + perplexity +
-  * lang-aware heuristics + keep/drop + full rule lineage, with per-row
-  * fault isolation (error column instead of stage failure, O1). The lang
-  * argument is the *claimed* language — used only as a fallback hint; the
-  * rules run on the predicted language. */
-case class PageProcess(child: Expression) extends StringKernelExpression {
-  override def dataType: DataType = GraftSchemas.pageProcessStruct
-  override def nullSafeEval(v: Any): Any = {
-    val r = DocProcessor.process(v.asInstanceOf[UTF8String].toString)
+  def pageProcess(v: UTF8String): InternalRow = {
+    val r = DocProcessor.process(v.toString)
     InternalRow(
       UTF8String.fromString(r.fullText),
       UTF8String.fromString(r.scrubbedText),
@@ -174,88 +144,30 @@ case class PageProcess(child: Expression) extends StringKernelExpression {
       r.keep,
       r.error.map(UTF8String.fromString).orNull)
   }
-  override protected def withNewChildInternal(c: Expression): PageProcess = copy(c)
-  override def prettyName: String = "graft_page_process"
-}
 
-/** `graft_pii_tokens(text)` — labeled token lineage:
-  * ARRAY<STRUCT<text,start,end,detected_as>> (J1-J2 output). */
-case class PiiTokens(child: Expression) extends StringKernelExpression {
-  override def dataType: DataType =
-    ArrayType(GraftSchemas.tokenStruct, containsNull = false)
-  override def nullSafeEval(v: Any): Any = {
-    val (_, _, labeled, _) =
-      PiiDetector.detectAndScrub(v.asInstanceOf[UTF8String].toString)
+  def piiTokens(v: UTF8String): ArrayData = {
+    val (_, _, labeled, _) = PiiDetector.detectAndScrub(v.toString)
     new GenericArrayData(labeled.map { t =>
       InternalRow(UTF8String.fromString(t.text), t.start, t.end,
         t.detectedAs.map(GraftSchemas.constUtf8).orNull)
     }.toArray[Any])
   }
-  override protected def withNewChildInternal(c: Expression): PiiTokens = copy(c)
-  override def prettyName: String = "graft_pii_tokens"
-}
 
-/** `graft_langid(text)` — STRUCT<lang, conf> from the broadcast-free
-  * JVM-singleton profile table (per-executor init). */
-case class LangIdExpr(child: Expression) extends StringKernelExpression {
-  override def dataType: DataType = GraftSchemas.langStruct
-  override def nullSafeEval(v: Any): Any = {
-    val (lang, conf) = LangId.predict(v.asInstanceOf[UTF8String].toString)
+  def langid(v: UTF8String): InternalRow = {
+    val (lang, conf) = LangId.predict(v.toString)
     InternalRow(GraftSchemas.constUtf8(lang), conf)
   }
-  override protected def withNewChildInternal(c: Expression): LangIdExpr = copy(c)
-  override def prettyName: String = "graft_langid"
-}
 
-/** `graft_perplexity(text, lang)` — trigram stupid-backoff perplexity under
-  * the per-language LM (unknown lang → en model). */
-case class PerplexityExpr(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
-  override def inputTypes = Seq(StringType, StringType)
-  override def nullIntolerant: Boolean = true
-  override def dataType: DataType = DoubleType
-  override def nullSafeEval(t: Any, l: Any): Any =
-    NGramLM.perplexity(t.asInstanceOf[UTF8String].toString,
-      l.asInstanceOf[UTF8String].toString)
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): PerplexityExpr =
-    copy(left = newLeft, right = newRight)
-  override def prettyName: String = "graft_perplexity"
-}
+  def perplexity(t: UTF8String, l: UTF8String): Double =
+    NGramLM.perplexity(t.toString, l.toString)
 
-/** `graft_quality_rules(text, lang)` — full Gopher/C4 rule lineage:
-  * ARRAY<STRUCT<rule,fired,value,threshold>>. The stopword rule is
-  * lang-aware (per-language stopword lists). */
-case class QualityRules(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
-  override def inputTypes = Seq(StringType, StringType)
-  override def nullIntolerant: Boolean = true
-  override def dataType: DataType =
-    ArrayType(GraftSchemas.ruleStruct, containsNull = false)
-  override def nullSafeEval(t: Any, l: Any): Any =
+  def qualityRules(t: UTF8String, l: UTF8String): ArrayData =
     GraftSchemas.rulesToCatalyst(
-      Heuristics.evaluate(t.asInstanceOf[UTF8String].toString,
-        l.asInstanceOf[UTF8String].toString))
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): QualityRules =
-    copy(left = newLeft, right = newRight)
-  override def prettyName: String = "graft_quality_rules"
-}
+      Heuristics.evaluate(t.toString, l.toString))
 
-/** `graft_cosine(a, b)` — cosine similarity of two ARRAY<DOUBLE> vectors
-  * in one native pass (sequential double math, deterministic). The HOF
-  * formulation (`aggregate(zip_with(...))`) is interpreted per element and
-  * costs ~10µs/pair at 64 dims; this is ~100ns — the difference between a
-  * feasible and an infeasible pairwise stage (measured 135s → seconds on
-  * a 13.5M-pair sweep). */
-case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
-  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
-  override def nullIntolerant: Boolean = true
-  override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toDoubleArray()
-    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toDoubleArray()
+    val y = b.toDoubleArray()
     val n = math.min(x.length, y.length)
     var dot = 0.0
     var nx = 0.0
@@ -269,24 +181,9 @@ case class CosineSim(left: Expression, right: Expression)
     }
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): CosineSim =
-    copy(left = newLeft, right = newRight)
-  override def prettyName: String = "graft_cosine"
-}
 
-/** `graft_shingles(text)` — distinct 3-word shingle strings (whitespace
-  * word split — the same `Character.isWhitespace` contract as
-  * [[graft.core.Tokenizer.words]] and [[graft.core.Dedup.shingles]], so
-  * the LSH banding stage and this confirmation stage agree on multi-line
-  * text — lowercased, first-occurrence order). Native form of the HOF
-  * pyramid `array_distinct(transform(sequence(...), slice/concat))` whose
-  * interpreted evaluation dominates the Jaccard dedup stage. The DuckDB
-  * oracle mirrors via `regexp_split_to_array(text, '\s+')`. */
-case class ShingleExpr(child: Expression) extends StringKernelExpression {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(v: Any): Any = {
-    val text = v.asInstanceOf[UTF8String].toString
+  def shingles(v: UTF8String): ArrayData = {
+    val text = v.toString
     val words = new scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
     val n = text.length
@@ -310,127 +207,32 @@ case class ShingleExpr(child: Expression) extends StringKernelExpression {
     new GenericArrayData(
       out.toArray.map(s => UTF8String.fromString(s.asInstanceOf[String]): Any))
   }
-  override protected def withNewChildInternal(c: Expression): ShingleExpr = copy(c)
-  override def prettyName: String = "graft_shingles"
-}
 
-/** `graft_html_text(html)` — deterministic HTML→text extraction for
-  * html-only rows (P1 branch analog). BINARY (UTF-8) or STRING input. */
-case class HtmlTextExpr(child: Expression) extends UnaryExpression
-    with CodegenFallback {
-  // accepts BINARY (UTF-8) or STRING; no ExpectsInputTypes because
-  // TypeCollection is private[sql] in Spark 4
-  override def nullIntolerant: Boolean = true
-  override def dataType: DataType = StringType
-  override def nullSafeEval(v: Any): Any = {
-    val s = v match {
-      case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
-      case u: UTF8String => u.toString
-    }
-    UTF8String.fromString(HtmlText.extract(s))
-  }
-  override protected def withNewChildInternal(c: Expression): HtmlTextExpr = copy(c)
-  override def prettyName: String = "graft_html_text"
-}
+  def htmlText(v: UTF8String): UTF8String =
+    UTF8String.fromString(HtmlText.extract(v.toString))
+  def htmlText(v: Array[Byte]): UTF8String =
+    UTF8String.fromString(HtmlText.extract(
+      new String(v, java.nio.charset.StandardCharsets.UTF_8)))
 
-/** `graft_html_text_safe(html)` — STRUCT<text, error>: the same extraction
-  * wrapped in per-row fault isolation (SURVEY O1, the reference's per-file
-  * try/except at backend/pdf/PDFRedactor.py:39-43). The pipeline routes
-  * html-only rows through THIS form: an extraction failure on one garbage
-  * page degrades to `(text = '', error = <class: message>)` instead of
-  * failing the whole stage — the round-3 verdict's task-killer, where one
-  * malformed numeric entity on one html-routed page escaped the fused
-  * kernel's fault envelope. The plain [[HtmlTextExpr]] stays the exact
-  * unguarded function for à-la-carte use and the oracle queries. */
-case class HtmlTextSafeExpr(child: Expression) extends UnaryExpression
-    with CodegenFallback {
-  override def nullIntolerant: Boolean = true
-  override def dataType: DataType = StructType(Seq(
-    StructField("text", StringType, nullable = false),
-    StructField("error", StringType, nullable = true)))
-  override def nullSafeEval(v: Any): Any =
-    try {
-      val s = v match {
-        case b: Array[Byte] =>
-          new String(b, java.nio.charset.StandardCharsets.UTF_8)
-        case u: UTF8String => u.toString
-      }
-      InternalRow(UTF8String.fromString(HtmlText.extract(s)), null)
-    } catch {
+  private def htmlTextSafeImpl(s: => String): InternalRow =
+    try InternalRow(UTF8String.fromString(HtmlText.extract(s)), null)
+    catch {
       case e: Throwable =>
         InternalRow(UTF8String.EMPTY_UTF8, UTF8String.fromString(
           s"HtmlExtractError: ${e.getClass.getName}: ${e.getMessage}"))
     }
-  override protected def withNewChildInternal(c: Expression): HtmlTextSafeExpr = copy(c)
-  override def prettyName: String = "graft_html_text_safe"
-}
+  def htmlTextSafe(v: UTF8String): InternalRow = htmlTextSafeImpl(v.toString)
+  def htmlTextSafe(v: Array[Byte]): InternalRow = htmlTextSafeImpl(
+    new String(v, java.nio.charset.StandardCharsets.UTF_8))
 
-/** `graft_word_count(text)` — tokenizer-contract word count (BIGINT).
-  *
-  * Real `doGenCode` (not CodegenFallback): the generated code is a direct
-  * static call inside whole-stage codegen — no boxed-row `eval` dispatch,
-  * no fallback expression reference. The measured WSCG headroom for
-  * simple scalar kernels lives in BENCH/BASELINE.md; the same pattern
-  * applies to any `graft_*` kernel whose result is a primitive. */
-case class WordCount(child: Expression) extends StringKernelCodegenExpression {
-  override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any =
-    Tokenizer.wordCount(v.asInstanceOf[UTF8String].toString)
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.core.Tokenizer.wordCount($c.toString())")
-  override protected def withNewChildInternal(c: Expression): WordCount = copy(c)
-  override def prettyName: String = "graft_word_count"
-}
+  def minhash(v: UTF8String): ArrayData =
+    new GenericArrayData(Dedup.minHashSignature(v.toString))
 
-/** `graft_minhash(text)` — MinHash signature, ARRAY<BIGINT>(128). */
-case class MinHashSig(child: Expression) extends StringKernelExpression {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(Dedup.minHashSignature(v.asInstanceOf[UTF8String].toString))
-  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(c)
-  override def prettyName: String = "graft_minhash"
-}
+  def lshBands(v: UTF8String): ArrayData =
+    new GenericArrayData(Dedup.lshBandKeysGuarded(v.toString))
 
-/** `graft_lsh_bands(text)` — LSH band keys (32 bands x 4 rows),
-  * ARRAY<BIGINT>. Empty/whitespace docs emit NO bands (skew guard — see
-  * [[graft.core.Dedup.lshBandKeysGuarded]]). */
-case class LshBands(child: Expression) extends StringKernelExpression {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(
-      Dedup.lshBandKeysGuarded(v.asInstanceOf[UTF8String].toString))
-  override protected def withNewChildInternal(c: Expression): LshBands = copy(c)
-  override def prettyName: String = "graft_lsh_bands"
-}
-
-/** `graft_simhash(text)` — 64-bit SimHash (BIGINT). */
-case class SimHashExpr(child: Expression) extends StringKernelExpression {
-  override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any =
-    Dedup.simHash(v.asInstanceOf[UTF8String].toString)
-  override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(c)
-  override def prettyName: String = "graft_simhash"
-}
-
-/** `graft_lsh_project(emb)` — 16-hyperplane signed-random-projection LSH
-  * signature (BIGINT, low 16 bits). Hyperplane weights are small integers
-  * derived from (bit, dim) by fixed mixing arithmetic, so the exact same
-  * signature is computable in plain SQL (the DuckDB oracle mirrors it).
-  * Native sequential double math — the interpreted
-  * `aggregate(zip_with(...))` HOF form costs ~10µs/row; this is ~100ns.
-  * ANN use: candidates = rows whose signature is within a small hamming
-  * radius of the query's (multi-probe); rank candidates by exact cosine. */
-case class LshProject(child: Expression) extends UnaryExpression
-    with ExpectsInputTypes with CodegenFallback {
-  override def inputTypes = Seq(ArrayType(DoubleType))
-  override def nullIntolerant: Boolean = true
-  override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any = {
-    val x = v.asInstanceOf[ArrayData].toDoubleArray()
+  def lshProject(v: ArrayData): Long = {
+    val x = v.toDoubleArray()
     var sig = 0L
     var b = 1
     while (b <= 16) {
@@ -446,6 +248,324 @@ case class LshProject(child: Expression) extends UnaryExpression
     }
     sig
   }
+
+  def ivfAssign(a: ArrayData, cents: ArrayData): Long = {
+    val x = a.toDoubleArray()
+    var best = 0L
+    var bestSim = Double.NegativeInfinity
+    var i = 0
+    while (i < cents.numElements()) {
+      val c = cents.getArray(i).toDoubleArray()
+      val n = math.min(x.length, c.length)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var j = 0
+      while (j < n) {
+        dot += x(j) * c(j); nx += x(j) * x(j); ny += c(j) * c(j); j += 1
+      }
+      val sim =
+        if (nx == 0.0 || ny == 0.0) 0.0
+        else dot / (math.sqrt(nx) * math.sqrt(ny))
+      if (sim > bestSim) { bestSim = sim; best = i.toLong }
+      i += 1
+    }
+    best
+  }
+}
+
+/** Base for string-input kernels with REAL codegen: subclasses implement
+  * `doGenCode` as a direct static call into [[Kernels]] (or graft.core),
+  * so they stay INSIDE whole-stage codegen spans. Deliberately NOT a
+  * `CodegenFallback`: the WSCG planner (`CollapseCodegenStages
+  * .supportCodegen`) excludes any plan node containing a CodegenFallback
+  * expression from the generated span — an overridden doGenCode on a
+  * CodegenFallback subclass is never called (measured: the project
+  * dropped out of the WSCG subtree entirely). */
+abstract class StringKernelCodegenExpression extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  /** Static call expression for one input, e.g.
+    * `c => s"graft.expr.Kernels.langid($c)"`. */
+  protected def staticCall(c: String): String
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, staticCall)
+}
+
+/** Binary analog of [[StringKernelCodegenExpression]]. */
+abstract class BinaryKernelCodegenExpression extends BinaryExpression
+    with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  protected def staticCall(a: String, b: String): String
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, staticCall)
+}
+
+/** `graft_extract_text(text)` — canonical full_text rebuild (G1 contract:
+  * blank-skip, single-space rejoin; byte-identical per input). */
+case class ExtractText(child: Expression) extends StringKernelCodegenExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    Kernels.extractText(v.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"graft.expr.Kernels.extractText($c)"
+  override protected def withNewChildInternal(c: Expression): ExtractText = copy(c)
+  override def prettyName: String = "graft_extract_text"
+}
+
+/** `graft_pii_extract(full_text)` — fused multi-pattern scan + refine +
+  * sort; ARRAY<STRUCT<pii_type,start,end,text>> (D1-D3). */
+case class PiiExtractAll(child: Expression) extends StringKernelCodegenExpression {
+  override def dataType: DataType =
+    ArrayType(GraftSchemas.matchStruct, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.piiExtract(v.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"graft.expr.Kernels.piiExtract($c)"
+  override protected def withNewChildInternal(c: Expression): PiiExtractAll = copy(c)
+  override def prettyName: String = "graft_pii_extract"
+}
+
+/** `graft_pii_process(text)` — the whole document-local redaction pipeline
+  * in one pass: tokenize → scan/refine/sort → span join → scrub.
+  * STRUCT<full_text, scrubbed_text, pii_matches, n_redacted>. */
+case class PiiProcess(child: Expression) extends StringKernelCodegenExpression {
+  override def dataType: DataType = GraftSchemas.piiProcessStruct
+  override def nullSafeEval(v: Any): Any =
+    Kernels.piiProcess(v.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"graft.expr.Kernels.piiProcess($c)"
+  override protected def withNewChildInternal(c: Expression): PiiProcess = copy(c)
+  override def prettyName: String = "graft_pii_process"
+}
+
+/** `graft_page_process(text)` — the fused whole-pipeline pass:
+  * tokenize once → PII scan/refine/join/scrub + langid + perplexity +
+  * lang-aware heuristics + keep/drop + full rule lineage, with per-row
+  * fault isolation (error column instead of stage failure, O1). */
+case class PageProcess(child: Expression) extends StringKernelCodegenExpression {
+  override def dataType: DataType = GraftSchemas.pageProcessStruct
+  override def nullSafeEval(v: Any): Any =
+    Kernels.pageProcess(v.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"graft.expr.Kernels.pageProcess($c)"
+  override protected def withNewChildInternal(c: Expression): PageProcess = copy(c)
+  override def prettyName: String = "graft_page_process"
+}
+
+/** `graft_pii_tokens(text)` — labeled token lineage:
+  * ARRAY<STRUCT<text,start,end,detected_as>> (J1-J2 output). */
+case class PiiTokens(child: Expression) extends StringKernelCodegenExpression {
+  override def dataType: DataType =
+    ArrayType(GraftSchemas.tokenStruct, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.piiTokens(v.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"graft.expr.Kernels.piiTokens($c)"
+  override protected def withNewChildInternal(c: Expression): PiiTokens = copy(c)
+  override def prettyName: String = "graft_pii_tokens"
+}
+
+/** `graft_langid(text)` — STRUCT<lang, conf> from the broadcast-free
+  * JVM-singleton profile table (per-executor init). */
+case class LangIdExpr(child: Expression) extends StringKernelCodegenExpression {
+  override def dataType: DataType = GraftSchemas.langStruct
+  override def nullSafeEval(v: Any): Any =
+    Kernels.langid(v.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"graft.expr.Kernels.langid($c)"
+  override protected def withNewChildInternal(c: Expression): LangIdExpr = copy(c)
+  override def prettyName: String = "graft_langid"
+}
+
+/** `graft_perplexity(text, lang)` — trigram stupid-backoff perplexity under
+  * the per-language LM (unknown lang → en model). */
+case class PerplexityExpr(left: Expression, right: Expression)
+    extends BinaryKernelCodegenExpression {
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(t: Any, l: Any): Any =
+    Kernels.perplexity(t.asInstanceOf[UTF8String], l.asInstanceOf[UTF8String])
+  override protected def staticCall(a: String, b: String): String =
+    s"graft.expr.Kernels.perplexity($a, $b)"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PerplexityExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_perplexity"
+}
+
+/** `graft_quality_rules(text, lang)` — full Gopher/C4 rule lineage:
+  * ARRAY<STRUCT<rule,fired,value,threshold>>. The stopword rule is
+  * lang-aware (per-language stopword lists). */
+case class QualityRules(left: Expression, right: Expression)
+    extends BinaryKernelCodegenExpression {
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType =
+    ArrayType(GraftSchemas.ruleStruct, containsNull = false)
+  override def nullSafeEval(t: Any, l: Any): Any =
+    Kernels.qualityRules(t.asInstanceOf[UTF8String],
+      l.asInstanceOf[UTF8String])
+  override protected def staticCall(a: String, b: String): String =
+    s"graft.expr.Kernels.qualityRules($a, $b)"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QualityRules =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_quality_rules"
+}
+
+/** `graft_cosine(a, b)` — cosine similarity of two ARRAY<DOUBLE> vectors
+  * in one native pass (sequential double math, deterministic). The HOF
+  * formulation (`aggregate(zip_with(...))`) is interpreted per element and
+  * costs ~10µs/pair at 64 dims; this is ~100ns — the difference between a
+  * feasible and an infeasible pairwise stage (measured 135s → seconds on
+  * a 13.5M-pair sweep). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryKernelCodegenExpression {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def staticCall(a: String, b: String): String =
+    s"graft.expr.Kernels.cosine($a, $b)"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_cosine"
+}
+
+/** `graft_shingles(text)` — distinct 3-word shingle strings (whitespace
+  * word split — the same `Character.isWhitespace` contract as
+  * [[graft.core.Tokenizer.words]] and [[graft.core.Dedup.shingles]], so
+  * the LSH banding stage and this confirmation stage agree on multi-line
+  * text — lowercased, first-occurrence order). Native form of the HOF
+  * pyramid `array_distinct(transform(sequence(...), slice/concat))` whose
+  * interpreted evaluation dominates the Jaccard dedup stage. The DuckDB
+  * oracle mirrors via `regexp_split_to_array(text, '\s+')`. */
+case class ShingleExpr(child: Expression) extends StringKernelCodegenExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.shingles(v.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"graft.expr.Kernels.shingles($c)"
+  override protected def withNewChildInternal(c: Expression): ShingleExpr = copy(c)
+  override def prettyName: String = "graft_shingles"
+}
+
+/** `graft_html_text(html)` — deterministic HTML→text extraction for
+  * html-only rows (P1 branch analog). BINARY (UTF-8) or STRING input
+  * (no ExpectsInputTypes: TypeCollection is private[sql] in Spark 4; the
+  * Kernels overload on the child's Java type handles both). */
+case class HtmlTextExpr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = v match {
+    case b: Array[Byte] => Kernels.htmlText(b)
+    case u: UTF8String => Kernels.htmlText(u)
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.Kernels.htmlText($c)")
+  override protected def withNewChildInternal(c: Expression): HtmlTextExpr = copy(c)
+  override def prettyName: String = "graft_html_text"
+}
+
+/** `graft_html_text_safe(html)` — STRUCT<text, error>: the same extraction
+  * wrapped in per-row fault isolation (SURVEY O1, the reference's per-file
+  * try/except at backend/pdf/PDFRedactor.py:39-43). The pipeline routes
+  * html-only rows through THIS form: an extraction failure on one garbage
+  * page degrades to `(text = '', error = <class: message>)` instead of
+  * failing the whole stage — the round-3 verdict's task-killer, where one
+  * malformed numeric entity on one html-routed page escaped the fused
+  * kernel's fault envelope. The plain [[HtmlTextExpr]] stays the exact
+  * unguarded function for à-la-carte use and the oracle queries. */
+case class HtmlTextSafeExpr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = GraftSchemas.htmlSafeStruct
+  override def nullSafeEval(v: Any): Any =
+    try {
+      v match {
+        case b: Array[Byte] => Kernels.htmlTextSafe(b)
+        case u: UTF8String => Kernels.htmlTextSafe(u)
+      }
+    } catch {
+      // a child of unexpected runtime type still degrades per-row
+      case e: Throwable =>
+        InternalRow(UTF8String.EMPTY_UTF8, UTF8String.fromString(
+          s"HtmlExtractError: ${e.getClass.getName}: ${e.getMessage}"))
+    }
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.Kernels.htmlTextSafe($c)")
+  override protected def withNewChildInternal(c: Expression): HtmlTextSafeExpr = copy(c)
+  override def prettyName: String = "graft_html_text_safe"
+}
+
+/** `graft_word_count(text)` — tokenizer-contract word count (BIGINT).
+  * Allocation-free eval (no word-list materialization). */
+case class WordCount(child: Expression) extends StringKernelCodegenExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Tokenizer.wordCount(v.asInstanceOf[UTF8String].toString)
+  override protected def staticCall(c: String): String =
+    s"graft.core.Tokenizer.wordCount($c.toString())"
+  override protected def withNewChildInternal(c: Expression): WordCount = copy(c)
+  override def prettyName: String = "graft_word_count"
+}
+
+/** `graft_minhash(text)` — MinHash signature, ARRAY<BIGINT>(128). */
+case class MinHashSig(child: Expression) extends StringKernelCodegenExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.minhash(v.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"graft.expr.Kernels.minhash($c)"
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(c)
+  override def prettyName: String = "graft_minhash"
+}
+
+/** `graft_lsh_bands(text)` — LSH band keys (32 bands x 4 rows),
+  * ARRAY<BIGINT>. Empty/whitespace docs emit NO bands (skew guard — see
+  * [[graft.core.Dedup.lshBandKeysGuarded]]). */
+case class LshBands(child: Expression) extends StringKernelCodegenExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.lshBands(v.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"graft.expr.Kernels.lshBands($c)"
+  override protected def withNewChildInternal(c: Expression): LshBands = copy(c)
+  override def prettyName: String = "graft_lsh_bands"
+}
+
+/** `graft_simhash(text)` — 64-bit SimHash (BIGINT). */
+case class SimHashExpr(child: Expression) extends StringKernelCodegenExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Dedup.simHash(v.asInstanceOf[UTF8String].toString)
+  override protected def staticCall(c: String): String =
+    s"graft.core.Dedup.simHash($c.toString())"
+  override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(c)
+  override def prettyName: String = "graft_simhash"
+}
+
+/** `graft_lsh_project(emb)` — 16-hyperplane signed-random-projection LSH
+  * signature (BIGINT, low 16 bits). Hyperplane weights are small integers
+  * derived from (bit, dim) by fixed mixing arithmetic, so the exact same
+  * signature is computable in plain SQL (the DuckDB oracle mirrors it).
+  * Native sequential double math — the interpreted
+  * `aggregate(zip_with(...))` HOF form costs ~10µs/row; this is ~100ns.
+  * ANN use: candidates = rows whose signature is within a small hamming
+  * radius of the query's (multi-probe); rank candidates by exact cosine. */
+case class LshProject(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Kernels.lshProject(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.Kernels.lshProject($c)")
   override protected def withNewChildInternal(c: Expression): LshProject = copy(c)
   override def prettyName: String = "graft_lsh_project"
 }
@@ -456,30 +576,13 @@ case class LshProject(child: Expression) extends UnaryExpression
   * the coarse codebook is tiny by construction, so assignment is a pure
   * map: no shuffle, no window, no per-row join. */
 case class IvfAssign(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends BinaryKernelCodegenExpression {
   override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)))
-  override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
-  private def cosine(x: Array[Double], y: Array[Double]): Double = {
-    val n = math.min(x.length, y.length)
-    var dot = 0.0; var nx = 0.0; var ny = 0.0
-    var i = 0
-    while (i < n) { dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
-    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
-  }
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toDoubleArray()
-    val cents = b.asInstanceOf[ArrayData]
-    var best = 0L
-    var bestSim = Double.NegativeInfinity
-    var i = 0
-    while (i < cents.numElements()) {
-      val sim = cosine(x, cents.getArray(i).toDoubleArray())
-      if (sim > bestSim) { bestSim = sim; best = i.toLong }
-      i += 1
-    }
-    best
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.ivfAssign(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def staticCall(a: String, b: String): String =
+    s"graft.expr.Kernels.ivfAssign($a, $b)"
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): IvfAssign =
     copy(left = newLeft, right = newRight)
@@ -495,22 +598,19 @@ case class BpeCount(child: Expression) extends StringKernelCodegenExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     Bpe.countText(v.asInstanceOf[UTF8String].toString)
-  // direct static call inside WSCG — see WordCount.doGenCode
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.core.Bpe.countText($c.toString())")
+  override protected def staticCall(c: String): String =
+    s"graft.core.Bpe.countText($c.toString())"
   override protected def withNewChildInternal(c: Expression): BpeCount = copy(c)
   override def prettyName: String = "graft_bpe_count"
 }
 
 /** `graft_fingerprint(text)` — rolling-hash document fingerprint (BIGINT). */
-case class FingerprintExpr(child: Expression) extends StringKernelExpression {
+case class FingerprintExpr(child: Expression) extends StringKernelCodegenExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     Dedup.fingerprint(v.asInstanceOf[UTF8String].toString)
+  override protected def staticCall(c: String): String =
+    s"graft.core.Dedup.fingerprint($c.toString())"
   override protected def withNewChildInternal(c: Expression): FingerprintExpr = copy(c)
   override def prettyName: String = "graft_fingerprint"
 }

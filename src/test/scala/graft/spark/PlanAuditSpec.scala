@@ -87,6 +87,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(fused >= 1, p.take(3000))
   }
 
+  test("pipeline projection is INSIDE whole-stage codegen (round 4): the " +
+      "fused kernel line carries a *(n) WSCG marker — a CodegenFallback " +
+      "regression would drop the whole projection out of the span") {
+    // read from parquet (LocalTableScan relations skip WSCG entirely, so
+    // an in-memory pages frame cannot witness this property)
+    val dir = java.nio.file.Files.createTempDirectory("planaudit_wscg")
+    graft.model.PagesSynth.pages(spark, 50, 2, validated = false)
+      .write.mode("overwrite").parquet(dir.toString)
+    val p = graft.pipeline.QualityPipeline(spark.read.parquet(dir.toString))
+      .queryExecution.executedPlan.toString
+    val kernelLine = p.linesIterator
+      .find(_.contains("graft_page_process")).getOrElse("")
+    assert(kernelLine.contains("*("),
+      s"fused kernel outside WSCG:\n${p.take(3000)}")
+  }
+
   test("text_token_counts: BPE counting is a native expression in the " +
       "scan projection — no join, no shuffle") {
     val p = plan("text_token_counts")
