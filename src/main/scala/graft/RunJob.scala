@@ -51,7 +51,8 @@ object RunJob {
       partitions: Int = 32,
       saltBuckets: Int = 16,
       shufflePartitions: Int = 32,
-      prebucketed: Option[String] = None)
+      prebucketed: Option[String] = None,
+      compact: Boolean = false)
 
   final case class JobResult(
       partitions: Seq[CheckpointedRun.PartitionResult],
@@ -75,6 +76,7 @@ object RunJob {
           a = a.copy(shufflePartitions = argv(i + 1).toInt); i += 2
         case "--prebucketed" =>
           a = a.copy(prebucketed = Some(argv(i + 1))); i += 2
+        case "--compact" => a = a.copy(compact = true); i += 1
         case other =>
           throw new IllegalArgumentException(s"unknown argument: $other")
       }
@@ -118,7 +120,16 @@ object RunJob {
       Files.write(marker,
         s"""{"run_id":"${args.runId}","snapshot_version":${snap.version},"rows":${snap.rowCount}}"""
           .getBytes(StandardCharsets.UTF_8))
-      JobResult(results, snap.version, snap.rowCount,
+      // optional out-of-band small-file compaction: a new snapshot with
+      // an atomic flip — readers never see a partial rewrite. Runs AFTER
+      // the commit marker: a kill during compaction leaves the appended
+      // snapshot live and the rerun a no-op (compaction is re-runnable
+      // maintenance, not part of the run's exactly-once contract).
+      val finalSnap =
+        if (args.compact)
+          IcebergStyleTable.compact(spark, tableRoot(args), Seq("part_date"))
+        else snap
+      JobResult(results, finalSnap.version, finalSnap.rowCount,
         committedThisRun = true)
     }
   }

@@ -30,8 +30,9 @@ class RunJobSpec extends AnyFunSuite {
   test("argument parsing: required args enforced, flags mapped") {
     val a = RunJob.parseArgs(Array("--input", "/i", "--output", "/o",
       "--run-id", "r1", "--partitions", "6", "--salt-buckets", "4",
-      "--shuffle-partitions", "3", "--prebucketed", "/p"))
-    assert(a == RunJob.JobArgs("/i", "/o", "r1", 6, 4, 3, Some("/p")))
+      "--shuffle-partitions", "3", "--prebucketed", "/p", "--compact"))
+    assert(a == RunJob.JobArgs("/i", "/o", "r1", 6, 4, 3, Some("/p"),
+      compact = true))
     intercept[IllegalArgumentException] {
       RunJob.parseArgs(Array("--input", "/i"))
     }
@@ -62,6 +63,22 @@ class RunJobSpec extends AnyFunSuite {
       RunJob.workRoot(args), "job1")
     assert(metrics.count() == 6)
     assert(metrics.agg(sum("rows")).head().getLong(0) == 300)
+  }
+
+  test("--compact: post-commit compaction produces a second snapshot " +
+      "with identical rows") {
+    val in = writeInput(300)
+    val args = RunJob.JobArgs(in, tmpDir("runjob_out"), "job_c",
+      partitions = 6, saltBuckets = 4, shufflePartitions = 6,
+      compact = true)
+    val res = RunJob.execute(spark, args)
+    // snapshot 1 = the append, snapshot 2 = the compaction rewrite
+    assert(res.tableVersion == 2)
+    assert(res.tableRows == 300)
+    assert(IcebergStyleTable.snapshots(RunJob.tableRoot(args)) == Seq(1, 2))
+    val table = IcebergStyleTable.read(spark, RunJob.tableRoot(args))
+    assert(table.count() == 300)
+    assert(table.select(countDistinct("url")).head().getLong(0) == 300)
   }
 
   test("kill/resume: a killed run resumes without recomputation and " +
