@@ -76,6 +76,16 @@ object Bench {
       rest(11).toLong + rest(12).toLong // utime + stime (fields 14, 15)
     } catch { case _: Throwable => 0L }
 
+  /** Cumulative stop-the-world GC wall millis across all collectors —
+    * attributes the CPU-per-doc inflation at full saturation: if GC time
+    * grows super-linearly from local[8] to local[32] it is the heap, not
+    * the kernels. */
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
   private def runPipeline(spark: SparkSession, pagesPath: String): Double = {
     val t0 = System.nanoTime()
     graft.pipeline.QualityPipeline(spark.read.parquet(pagesPath))
@@ -139,6 +149,8 @@ object Bench {
       scala.collection.mutable.ArrayBuffer[Long]()).toMap
     val kernelDocs = levels.map(l => l ->
       scala.collection.mutable.ArrayBuffer[Long]()).toMap
+    val cycleGc = levels.map(l => l ->
+      scala.collection.mutable.ArrayBuffer[Long]()).toMap
     // per-cycle stage maps so the profile can be restricted to CLEAN
     // cycles at the end (StageTimers measure thread-wall inside the
     // kernel, which preemption inflates — a stolen window would otherwise
@@ -155,7 +167,9 @@ object Bench {
         val stage0 = graft.core.StageTimers.snapshot()
         val st0 = stealJiffies
         val cpu0 = procSelfCpuJiffies
+        val gc0 = gcMillis
         val t = runPipeline(s, pagesPath)
+        cycleGc(level) += gcMillis - gc0
         cycleCpu(level) += procSelfCpuJiffies - cpu0
         cycleStealLvl(level) += stealJiffies - st0
         cycleTimes(level) += t
@@ -289,7 +303,9 @@ object Bench {
         f""""cpu_eff_8_to_32":${median(cpuEff832)}%.3f""",
         s""""cpu_eff_8_to_32_cycles":${arr(cpuEff832All)}""",
         f""""kernel_us_per_doc_local8":${kernelUsPerDoc(8)}%.2f""",
-        f""""kernel_us_per_doc_local32":${kernelUsPerDoc(32)}%.2f"""))
+        f""""kernel_us_per_doc_local32":${kernelUsPerDoc(32)}%.2f""") ++
+      levels.map(l =>
+        f""""gc_sec_local$l":${median(used.map(cycleGc(l)(_) / 1e3))}%.2f"""))
       .mkString(",")
     val line =
       f"""{"metric":"pipeline_e2e_local32","value":${times(32)}%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_docs":$BenchDocs,$dps,$cpuJson,"scaling_efficiency_4_to_16":${median(eff416)}%.3f,"scaling_efficiency_8_to_32":${median(eff832)}%.3f,"eff_4_to_16_cycles":${arr(eff416All)},"eff_8_to_32_cycles":${arr(eff832All)},"bench_cycles":$cyclesRun,"cycles_used":${used.size},"steal_jiffies_cycles":${cycleSteal.mkString("[", ",", "]")},"steal_reject_threshold":$stealRejectThreshold,"steal_jiffies_local16_clean":${stealClean(16)},"steal_jiffies_local32_clean":${stealClean(32)},"steal_jiffies_local16_all":${stealAll(16)},"steal_jiffies_local32_all":${stealAll(32)}}"""
