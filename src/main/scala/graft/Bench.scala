@@ -226,8 +226,20 @@ object Bench {
       (cycleTimes(n)(c) * n) / (cycleTimes(n4)(c) * n4)
     val eff416All = (0 until cyclesRun).map(effCycle(_, 4, 16))
     val eff832All = (0 until cyclesRun).map(effCycle(_, 8, 32))
-    val eff416 = used.map(effCycle(_, 4, 16))
-    val eff832 = used.map(effCycle(_, 8, 32))
+    // A pair > 1.05 is PHYSICALLY IMPOSSIBLE for a constant-work job
+    // (superlinear scaling = the lower level was externally slowed in
+    // that cycle) — a contamination marker independent of the steal
+    // counter, which misses memory-bandwidth-only neighbor noise
+    // (measured: a sub-threshold-steal window still produced a 1.92
+    // cycle). Dropping ONLY the impossible side is conservative: it can
+    // lower our reported efficiency, never raise it. All cycles stay in
+    // the published arrays.
+    def plausible(xs: Seq[Double]): Seq[Double] = {
+      val p = xs.filter(_ <= 1.05)
+      if (p.nonEmpty) p else xs
+    }
+    val eff416 = plausible(used.map(effCycle(_, 4, 16)))
+    val eff832 = plausible(used.map(effCycle(_, 8, 32)))
 
     // CPU-TIME efficiency (round-3 verdict ask #2): every level processes
     // the SAME docs, so the process-CPU ratio IS the per-doc CPU ratio.
