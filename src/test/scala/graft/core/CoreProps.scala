@@ -72,6 +72,19 @@ object CoreProps extends Properties("graft.core") {
       PiiDetector.scanFast(doc) == PiiDetector.scan(doc)
     }
 
+  property("numeric entity decode: any code point reference either " +
+      "decodes to exactly that code point or degrades to a space — " +
+      "NEVER throws (round-4 task-killer contract)") =
+    forAll(Gen.chooseNum(-100, 0x120000)) { cp =>
+      val dec = HtmlText.extract(s"x&#$cp;y")
+      val hex = if (cp >= 0) HtmlText.extract(s"x&#x${cp.toHexString};y")
+        else dec
+      val valid = cp >= 0 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF)
+      val expected =
+        if (valid) "x" + new String(Character.toChars(cp)) + "y" else "x y"
+      dec == expected && hex == expected
+    }
+
   property("prefix detection offsets stable under concatenation") =
     forAll(Gen.listOf(piiWordGen), Gen.listOf(piiWordGen)) { (a, b) =>
       val ta = a.mkString(" ")
