@@ -97,7 +97,14 @@ object RunJob {
   def execute(spark: SparkSession, args: JobArgs,
               failAfter: Int = Int.MaxValue): JobResult = {
     graft.expr.GraftFunctions.register(spark)
-    val pages = spark.read.parquet(args.input)
+    // input may be an Iceberg-style table root (the north rule's input
+    // shape — resolved through its snapshot manifest, so an in-flight
+    // commit on the source table is invisible) or a plain parquet dir
+    val pages =
+      if (Files.exists(
+          Paths.get(args.input, "metadata", "version-hint.text")))
+        IcebergStyleTable.read(spark, args.input)
+      else spark.read.parquet(args.input)
 
     val results = CheckpointedRun.run(spark, pages, keyCol = "url",
       transform = QualityPipeline.apply, root = workRoot(args),

@@ -65,6 +65,20 @@ class RunJobSpec extends AnyFunSuite {
     assert(metrics.agg(sum("rows")).head().getLong(0) == 300)
   }
 
+  test("input may be an Iceberg-style table root: rows resolved through " +
+      "the snapshot manifest") {
+    val tableIn = tmpDir("runjob_table_in")
+    val pages = PagesSynth.pages(spark, 200, 4)
+      .withColumn("pd", to_date(col("warc_ts")))
+    IcebergStyleTable.append(pages, tableIn, Seq("pd"), "url", 4, 4)
+    val args = RunJob.JobArgs(tableIn, tmpDir("runjob_out"), "job_t",
+      partitions = 4, saltBuckets = 4, shufflePartitions = 4)
+    val res = RunJob.execute(spark, args)
+    assert(res.tableRows == 200)
+    assert(IcebergStyleTable.read(spark, RunJob.tableRoot(args))
+      .select(countDistinct("url")).head().getLong(0) == 200)
+  }
+
   test("--compact: post-commit compaction produces a second snapshot " +
       "with identical rows") {
     val in = writeInput(300)
