@@ -22,9 +22,16 @@ object Verify {
     // Absolute path baked into the SQL so the driver's DuckDB cwd is
     // irrelevant.
     val auxDir = new java.io.File("target/verify_aux").getAbsolutePath
-    graft.model.PagesSynth.truthTable(spark, SparkEntry.synthN(sfDir), 16)
+    try graft.model.PagesSynth.truthTable(spark, SparkEntry.synthN(sfDir), 16)
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/pipeline_truth")
-    locally {
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[verify] truth-table dump failed: ${e.getMessage}")
+    }
+    // failure containment: a broken aux dump (e.g. the margin guard
+    // firing after a testdata regen) must cost its OWN oracle rows, not
+    // zero the whole round by aborting before the 36 query dumps
+    try {
       import spark.implicits._
       val cents = SparkEntry.ivfCentroids(spark, sfDir)
       // dump-time near-tie guard: Spark's argmax and DuckDB's arg_max do
@@ -39,6 +46,9 @@ object Verify {
       cents.zipWithIndex
         .map { case (c, i) => (i.toLong, c) }.toDF("cent_id", "cent")
         .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/ivf_centroids")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[verify] IVF codebook dump failed: ${e.getMessage}")
     }
 
     SparkEntry.queries.foreach { case (name, fn) =>
