@@ -309,8 +309,11 @@ object Bench {
       xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val cpuJson = (levels.map(l =>
       f""""cpu_core_sec_local$l":${cpuSec(l)}%.1f""") ++
+      // zero guard: a host without /proc/self/stat yields cpuSec = 0 and
+      // a bare division would print literal Infinity — invalid JSON
       levels.map(l =>
-        f""""docs_per_core_sec_local$l":${BenchDocs / cpuSec(l)}%.1f""") ++
+        f""""docs_per_core_sec_local$l":${
+          if (cpuSec(l) > 0) BenchDocs / cpuSec(l) else 0.0}%.1f""") ++
       Seq(f""""cpu_eff_4_to_16":${median(cpuEff416)}%.3f""",
         f""""cpu_eff_8_to_32":${median(cpuEff832)}%.3f""",
         s""""cpu_eff_8_to_32_cycles":${arr(cpuEff832All)}""",

@@ -54,6 +54,9 @@ object RunJob {
       prebucketed: Option[String] = None,
       compact: Boolean = false)
 
+  /** `tableRows` is always THIS RUN's contributed row count — on a fresh
+    * commit from the append snapshot, on a resumed-after-commit rerun
+    * from the run's recorded snapshot metadata (no table scan). */
   final case class JobResult(
       partitions: Seq[CheckpointedRun.PartitionResult],
       tableVersion: Int,
@@ -63,19 +66,24 @@ object RunJob {
   def parseArgs(argv: Array[String]): JobArgs = {
     var a = JobArgs()
     var i = 0
+    def value(flag: String): String = {
+      require(i + 1 < argv.length, s"$flag requires a value")
+      argv(i + 1)
+    }
     while (i < argv.length) {
       argv(i) match {
-        case "--input" => a = a.copy(input = argv(i + 1)); i += 2
-        case "--output" => a = a.copy(output = argv(i + 1)); i += 2
-        case "--run-id" => a = a.copy(runId = argv(i + 1)); i += 2
+        case "--input" => a = a.copy(input = value("--input")); i += 2
+        case "--output" => a = a.copy(output = value("--output")); i += 2
+        case "--run-id" => a = a.copy(runId = value("--run-id")); i += 2
         case "--partitions" =>
-          a = a.copy(partitions = argv(i + 1).toInt); i += 2
+          a = a.copy(partitions = value("--partitions").toInt); i += 2
         case "--salt-buckets" =>
-          a = a.copy(saltBuckets = argv(i + 1).toInt); i += 2
+          a = a.copy(saltBuckets = value("--salt-buckets").toInt); i += 2
         case "--shuffle-partitions" =>
-          a = a.copy(shufflePartitions = argv(i + 1).toInt); i += 2
+          a = a.copy(shufflePartitions =
+            value("--shuffle-partitions").toInt); i += 2
         case "--prebucketed" =>
-          a = a.copy(prebucketed = Some(argv(i + 1))); i += 2
+          a = a.copy(prebucketed = Some(value("--prebucketed"))); i += 2
         case "--compact" => a = a.copy(compact = true); i += 1
         case other =>
           throw new IllegalArgumentException(s"unknown argument: $other")
@@ -111,32 +119,47 @@ object RunJob {
       runId = args.runId, numPartitions = args.partitions,
       failAfter = failAfter, prebucketed = args.prebucketed)
 
+    // Exactly-once commit detection: the DURABLE record is the run_id
+    // stamped into the snapshot JSON at the atomic hint flip (the marker
+    // alone had a crash window — a kill between hint flip and marker
+    // write would make the rerun append a duplicate snapshot). The
+    // marker remains as a fast path and a metrics record.
     val marker = commitMarker(args)
-    if (Files.exists(marker)) {
-      // already committed by a previous attempt — resume is a no-op
-      val v = IcebergStyleTable.currentVersion(tableRoot(args))
-      JobResult(results, v,
-        IcebergStyleTable.read(spark, tableRoot(args)).count(),
+    val recorded = IcebergStyleTable
+      .findSnapshotWithMeta(tableRoot(args), "run_id", args.runId)
+    if (Files.exists(marker) || recorded.isDefined) {
+      // already committed by a previous attempt — resume is a no-op;
+      // report this run's contributed rows from its snapshot record
+      val v = recorded.getOrElse(
+        IcebergStyleTable.currentVersion(tableRoot(args)))
+      if (!Files.exists(marker)) // heal the lost marker for future reruns
+        Files.write(marker,
+          s"""{"run_id":"${args.runId}","snapshot_version":$v,"rows":${IcebergStyleTable.snapshotAddedRows(tableRoot(args), v)}}"""
+            .getBytes(StandardCharsets.UTF_8))
+      JobResult(results, IcebergStyleTable.currentVersion(tableRoot(args)),
+        IcebergStyleTable.snapshotAddedRows(tableRoot(args), v),
         committedThisRun = false)
     } else {
       val out = CheckpointedRun.output(spark, workRoot(args), args.runId)
       val snap = IcebergStyleTable.append(out, tableRoot(args),
         partitionCols = Seq("part_date"), saltCol = "url",
         saltBuckets = args.saltBuckets,
-        shufflePartitions = args.shufflePartitions)
+        shufflePartitions = args.shufflePartitions,
+        extraMeta = Map("run_id" -> args.runId))
       Files.write(marker,
         s"""{"run_id":"${args.runId}","snapshot_version":${snap.version},"rows":${snap.rowCount}}"""
           .getBytes(StandardCharsets.UTF_8))
       // optional out-of-band small-file compaction: a new snapshot with
       // an atomic flip — readers never see a partial rewrite. Runs AFTER
-      // the commit marker: a kill during compaction leaves the appended
+      // the commit record: a kill during compaction leaves the appended
       // snapshot live and the rerun a no-op (compaction is re-runnable
       // maintenance, not part of the run's exactly-once contract).
-      val finalSnap =
+      val finalVersion =
         if (args.compact)
-          IcebergStyleTable.compact(spark, tableRoot(args), Seq("part_date"))
-        else snap
-      JobResult(results, finalSnap.version, finalSnap.rowCount,
+          IcebergStyleTable.compact(spark, tableRoot(args),
+            Seq("part_date")).version
+        else snap.version
+      JobResult(results, finalVersion, snap.rowCount,
         committedThisRun = true)
     }
   }

@@ -52,16 +52,11 @@ object SparkEntry {
   final val IvfNProbe = 2
 
   /** Driver-side cosine for ranking the query's probe cells over the tiny
-    * codebook — same sequential arithmetic as the graft_cosine kernel and
-    * DuckDB's list_cosine_similarity, so the probe ranking agrees with
-    * the oracle's ORDER BY bit-for-bit. */
-  private def cosLocal(x: Array[Double], y: Array[Double]): Double = {
-    val n = math.min(x.length, y.length)
-    var dot = 0.0; var nx = 0.0; var ny = 0.0
-    var i = 0
-    while (i < n) { dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
-    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
-  }
+    * codebook — THE shared [[graft.core.VecMath.cosine]], so the probe
+    * ranking, the graft_cosine/graft_ivf_assign kernels, and DuckDB's
+    * list_cosine_similarity all agree bit-for-bit. */
+  private def cosLocal(x: Array[Double], y: Array[Double]): Double =
+    graft.core.VecMath.cosine(x, y)
 
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Seq[Double]]]()

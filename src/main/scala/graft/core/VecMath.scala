@@ -1,0 +1,28 @@
+package graft.core
+
+/** THE single cosine implementation, shared by the `graft_cosine` kernel,
+  * IVF assignment (`graft_ivf_assign`), and the driver-side probe-cell
+  * ranking in SparkEntry. These call sites must stay bit-identical in
+  * accumulation order: the DuckDB oracle recomputes assignment + ranking
+  * independently and the dump-time margin guard reasons about near-ties,
+  * so a silent divergence between copies (e.g. a changed zero-norm
+  * convention in one of them) would desynchronize assignment from
+  * ranking in a way no test names. Sequential loop, no SIMD/reduction
+  * reordering — deterministic across JVMs.
+  */
+object VecMath {
+  def cosine(x: Array[Double], y: Array[Double]): Double = {
+    val n = math.min(x.length, y.length)
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x(i) * y(i)
+      nx += x(i) * x(i)
+      ny += y(i) * y(i)
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+}

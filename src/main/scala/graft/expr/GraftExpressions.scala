@@ -165,22 +165,8 @@ object Kernels {
     GraftSchemas.rulesToCatalyst(
       Heuristics.evaluate(t.toString, l.toString))
 
-  def cosine(a: ArrayData, b: ArrayData): Double = {
-    val x = a.toDoubleArray()
-    val y = b.toDoubleArray()
-    val n = math.min(x.length, y.length)
-    var dot = 0.0
-    var nx = 0.0
-    var ny = 0.0
-    var i = 0
-    while (i < n) {
-      dot += x(i) * y(i)
-      nx += x(i) * x(i)
-      ny += y(i) * y(i)
-      i += 1
-    }
-    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
-  }
+  def cosine(a: ArrayData, b: ArrayData): Double =
+    VecMath.cosine(a.toDoubleArray(), b.toDoubleArray())
 
   def shingles(v: UTF8String): ArrayData = {
     val text = v.toString
@@ -255,16 +241,7 @@ object Kernels {
     var bestSim = Double.NegativeInfinity
     var i = 0
     while (i < cents.numElements()) {
-      val c = cents.getArray(i).toDoubleArray()
-      val n = math.min(x.length, c.length)
-      var dot = 0.0; var nx = 0.0; var ny = 0.0
-      var j = 0
-      while (j < n) {
-        dot += x(j) * c(j); nx += x(j) * x(j); ny += c(j) * c(j); j += 1
-      }
-      val sim =
-        if (nx == 0.0 || ny == 0.0) 0.0
-        else dot / (math.sqrt(nx) * math.sqrt(ny))
+      val sim = VecMath.cosine(x, cents.getArray(i).toDoubleArray())
       if (sim > bestSim) { bestSim = sim; best = i.toLong }
       i += 1
     }

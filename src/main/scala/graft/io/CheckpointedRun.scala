@@ -125,17 +125,39 @@ object CheckpointedRun {
               p.toString))
             .toSeq.sortBy(_._1)
           finally ds2.close()
-        bucketDirs.foreach { case (k, dir) =>
-          val bad = spark.read.parquet(dir)
-            .select(col(keyCol)).limit(32)
-            .filter(pmod(xxhash64(col(keyCol)), lit(numPartitions))
-              .cast("long") =!= k)
-            .count()
-          require(bad == 0,
-            s"prebucketed input at $path is not bucketed by " +
-              s"pmod(xxhash64($keyCol), $numPartitions): $bad sampled " +
-              s"row(s) in _bucket=$k land outside their directory")
-        }
+        // bounded work at production P: every directory is checked when
+        // P <= 64; beyond that a deterministic evenly-strided 64-dir
+        // subset is (a wrong key/P corrupts essentially every bucket, so
+        // 64 dirs catch a global mismatch with certainty and a partial
+        // mis-keying with high probability). The limit-32 reads run a few
+        // at a time on the scheduler instead of P sequential driver
+        // round-trips.
+        val step = math.max(1, bucketDirs.size / 64)
+        val sampled = bucketDirs.indices.collect {
+          case idx if idx % step == 0 => bucketDirs(idx)
+        }.take(64)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, math.max(1, sampled.size)))
+        try {
+          val futures = sampled.map { case (k, dir) =>
+            pool.submit(new java.util.concurrent.Callable[(Long, Long)] {
+              override def call(): (Long, Long) = {
+                val bad = spark.read.parquet(dir)
+                  .select(col(keyCol)).limit(32)
+                  .filter(pmod(xxhash64(col(keyCol)), lit(numPartitions))
+                    .cast("long") =!= k)
+                  .count()
+                (k, bad)
+              }
+            })
+          }
+          futures.map(_.get()).foreach { case (k, bad) =>
+            require(bad == 0,
+              s"prebucketed input at $path is not bucketed by " +
+                s"pmod(xxhash64($keyCol), $numPartitions): $bad sampled " +
+                s"row(s) in _bucket=$k land outside their directory")
+          }
+        } finally pool.shutdown()
         spark.read.parquet(path)
       case None =>
         val stagedPath = Paths.get(root, "_staged", s"run=$runId").toString

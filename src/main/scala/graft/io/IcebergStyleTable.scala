@@ -74,12 +74,27 @@ object IcebergStyleTable {
     * not delete+create: exactly one reclaimer can win the rename, so two
     * concurrent reclaimers cannot both end up owning the version) and the
     * claim is retried once. A reclaimer that loses the post-rename
-    * re-claim race throws like any other loser. */
-  private def claimVersion(root: String, version: Int): Unit = {
+    * re-claim race throws like any other loser.
+    *
+    * Each claim file carries its owner's NONCE, and release-on-failure
+    * deletes the claim only if the content still matches — without this,
+    * a slow committer whose lease expired (and whose claim was reclaimed
+    * by a second writer) would, on its own eventual failure, delete the
+    * SECOND writer's live claim and open the version to a third racer.
+    * The lease-vs-slow-writer race itself is inherent to lease-based
+    * recovery: deployments must size the lease above the longest
+    * plausible commit (a metastore with fencing tokens removes it
+    * entirely; this layer documents the trade, it cannot hide it).
+    * Returns the claim nonce. */
+  private def claimVersion(root: String, version: Int): String = {
     val claim = metaDir(root).resolve(s"claim-$version")
+    val nonce = s"${java.util.UUID.randomUUID()}"
     def tryCreate(): Boolean =
-      try { Files.createFile(claim); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      try {
+        Files.write(claim, nonce.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     def fail(): Nothing =
       throw new java.util.ConcurrentModificationException(
         s"snapshot version $version at $root is already claimed by " +
@@ -102,20 +117,28 @@ object IcebergStyleTable {
         if (!(won && tryCreate())) fail()
       } else fail()
     }
+    nonce
   }
 
   /** Run the commit body under a claimed version; a FAILED commit releases
     * its claim so the version number stays committable (without this, one
     * crashed writer would wedge the table forever — every later committer
-    * recomputes the same version and hits the stale claim). A SUCCESSFUL
-    * commit keeps the claim file: the hint has advanced past it, and it
-    * doubles as a record of the committer. */
+    * recomputes the same version and hits the stale claim). The release
+    * is OWNERSHIP-CHECKED via the claim nonce: a failing writer whose
+    * claim was already lease-reclaimed must not delete the reclaimer's
+    * live claim. A SUCCESSFUL commit keeps the claim file: the hint has
+    * advanced past it, and it doubles as a record of the committer. */
   private def withClaim[A](root: String, version: Int)(body: => A): A = {
-    claimVersion(root, version)
+    val nonce = claimVersion(root, version)
     try body
     catch {
       case t: Throwable =>
-        Files.deleteIfExists(metaDir(root).resolve(s"claim-$version"))
+        val claim = metaDir(root).resolve(s"claim-$version")
+        val owned =
+          try new String(Files.readAllBytes(claim),
+            StandardCharsets.UTF_8) == nonce
+          catch { case _: java.io.IOException => false }
+        if (owned) Files.deleteIfExists(claim)
         throw t
     }
   }
@@ -202,9 +225,14 @@ object IcebergStyleTable {
     * (SURVEY §2.11) then bound the max output task instead of serializing
     * one reducer per hot partition.
     */
+  /** `extraMeta`: caller key/values recorded in the snapshot JSON (e.g.
+    * RunJob's run_id — the snapshot then IS the durable record that a
+    * run's rows were committed, closing the kill-window between commit
+    * and any caller-side marker). Rendered as `"k":"v",` pairs. */
   def append(df: DataFrame, root: String, partitionCols: Seq[String],
              saltCol: String, saltBuckets: Int = 16,
-             shufflePartitions: Int = 32): Snapshot = {
+             shufflePartitions: Int = 32,
+             extraMeta: Map[String, String] = Map.empty): Snapshot = {
     Files.createDirectories(metaDir(root))
     val version = currentVersion(root) + 1
     withClaim(root, version) {
@@ -226,8 +254,10 @@ object IcebergStyleTable {
       metaJson.getBytes(StandardCharsets.UTF_8))
 
     val added = listGenFiles(root, version)
+    val extra = extraMeta.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}:${q(v)}," }.mkString
     commitMetadata(root, version, manifest(root, version - 1) ++ added,
-      added, rowCount, partitionCols, extra = "")
+      added, rowCount, partitionCols, extra = extra)
 
     Snapshot(version, added, rowCount)
     }
@@ -290,6 +320,31 @@ object IcebergStyleTable {
         .foreach(Files.deleteIfExists(_))
     }
   }
+
+  /** Version of the snapshot whose JSON carries `"key":"value"` (written
+    * via `append(extraMeta = ...)`), if any — the durable-commit lookup
+    * for callers that stamp their identity into the snapshot (RunJob's
+    * exactly-once guard survives a kill between hint flip and any
+    * caller-side marker precisely because this record IS the commit). */
+  def findSnapshotWithMeta(root: String, key: String,
+                           value: String): Option[Int] = {
+    val needle = s"${q(key)}:${q(value)}"
+    snapshots(root).find { v =>
+      try new String(Files.readAllBytes(
+        metaDir(root).resolve(s"snap-$v.json")), StandardCharsets.UTF_8)
+        .contains(needle)
+      catch { case _: java.io.IOException => false }
+    }
+  }
+
+  /** `added_rows` recorded in snapshot `version`'s JSON (0 if absent). */
+  def snapshotAddedRows(root: String, version: Int): Long =
+    try {
+      val s = new String(Files.readAllBytes(
+        metaDir(root).resolve(s"snap-$version.json")), StandardCharsets.UTF_8)
+      "\"added_rows\":(\\d+)".r.findFirstMatchIn(s)
+        .map(_.group(1).toLong).getOrElse(0L)
+    } catch { case _: java.io.IOException => 0L }
 
   def snapshots(root: String): Seq[Int] = {
     val m = metaDir(root)

@@ -95,6 +95,31 @@ class RunJobSpec extends AnyFunSuite {
     assert(table.select(countDistinct("url")).head().getLong(0) == 300)
   }
 
+  test("crash window closed: a kill between table commit and marker " +
+      "write cannot duplicate the snapshot — the run_id stamped in the " +
+      "snapshot JSON is the durable record") {
+    val in = writeInput(200)
+    val args = RunJob.JobArgs(in, tmpDir("runjob_out"), "job_w",
+      partitions = 4, saltBuckets = 4, shufflePartitions = 4)
+    val res1 = RunJob.execute(spark, args)
+    assert(res1.committedThisRun && res1.tableRows == 200)
+    // simulate the kill: the commit (hint flip) happened but the marker
+    // write did not
+    val marker = Paths.get(RunJob.workRoot(args), "_progress",
+      "run=job_w", "_committed.json")
+    assert(Files.exists(marker))
+    Files.delete(marker)
+    // rerun: must detect the snapshot's run_id, NOT append again
+    val res2 = RunJob.execute(spark, args)
+    assert(!res2.committedThisRun)
+    assert(res2.tableRows == 200) // this run's contribution, not a rescan
+    assert(IcebergStyleTable.snapshots(RunJob.tableRoot(args)) == Seq(1))
+    assert(IcebergStyleTable.read(spark, RunJob.tableRoot(args))
+      .count() == 200)
+    // and the lost marker was healed for future fast-path reruns
+    assert(Files.exists(marker))
+  }
+
   test("kill/resume: a killed run resumes without recomputation and " +
       "commits the table once") {
     val in = writeInput(240)
