@@ -341,10 +341,12 @@ object SparkEntry {
     //      DuckDB-constructed expected string. The html is built from
     //      doc_id so the oracle can rebuild the EXPECTED extraction
     //      literally: decimal + hex numeric refs, named entities (mdash /
-    //      hellip — the crawl-punctuation set added in round 4), and the
-    //      two malformed classes that used to kill the stage (out-of-range
-    //      numeric, unknown name) which must decode to a space. Tag
-    //      semantics pinned: <p> emits a newline, a closing tag a space. ----
+    //      hellip — the crawl-punctuation set added in round 4), the
+    //      out-of-range numeric that used to kill the stage (decodes to a
+    //      space, never throws), and an unknown entity-shaped name
+    //      (&bogus; — passes through RAW like a standards parser: prose
+    //      such as "Q&A;" is never deleted). Tag semantics pinned: <p>
+    //      emits a newline, a closing tag a space. ----
     "html_entities" -> ((s, dir) => {
       val d = docs(s, dir).withColumn("h",
         expr("concat('<p>a&#', cast(65 + doc_id % 26 as string), " +
@@ -992,10 +994,11 @@ object SparkEntry {
 
     // expected extraction rebuilt literally: block <p> → newline, closing
     // tag → trailing space, entities decoded (chr(39) = the hex-ref
-    // apostrophe; — and … literal UTF-8; malformed refs → space)
+    // apostrophe; — and … literal UTF-8; out-of-range numeric → space;
+    // unknown &bogus; passes through raw)
     "html_entities" ->
       ("SELECT doc_id, chr(10) || 'a' || chr(65 + CAST(doc_id % 26 AS INT)) " +
-        "|| 'b' || chr(39) || 'c—d…e f g ' AS extracted " +
+        "|| 'b' || chr(39) || 'c—d…e f&bogus;g ' AS extracted " +
         "FROM documents ORDER BY doc_id"),
 
     "g1_tokenize_stats" ->

@@ -14,10 +14,13 @@ object HtmlText {
 
   /** Named entities beyond the XML five: the punctuation set ubiquitous on
     * real crawl pages (em/en dash, curly quotes, ellipsis) plus common
-    * symbol/currency marks. Anything absent decodes to a space (documented
-    * lossy fallback, deterministic per input). The decoded punctuation
-    * feeds the downstream heuristics — e.g. `&hellip;` becomes the literal
-    * `…` the symbol-to-word-ratio rule counts. */
+    * symbol/currency marks. An UNKNOWN entity-shaped name (`&foo;`)
+    * passes through RAW, like a standards-following parser — prose such
+    * as `Q&A; next` or `R&D budget; approved` must never be silently
+    * deleted (an earlier revision swallowed any `&...;` span to a space,
+    * which corrupted exactly that prose). The decoded punctuation feeds
+    * the downstream heuristics — e.g. `&hellip;` becomes the literal `…`
+    * the symbol-to-word-ratio rule counts. */
   private val NamedEntities: java.util.HashMap[String, String] = {
     val m = new java.util.HashMap[String, String]()
     Seq(
@@ -91,7 +94,11 @@ object HtmlText {
           else {
             val tag = html.substring(i + 1, close).trim
               .toLowerCase(java.util.Locale.ROOT)
-            val name = tag.takeWhile(ch => ch.isLetter)
+            // letterOrDigit: a letters-only name turned "h1" into "h",
+            // making the heading-newline branch below unreachable —
+            // heading-structured pages merged onto one line and the
+            // line-shape heuristics mis-scored them
+            val name = tag.takeWhile(ch => ch.isLetterOrDigit)
             if (name == "script" || name == "style") {
               val end = lower.indexOf(s"</$name", close)
               i = if (end < 0) n else {
@@ -110,11 +117,22 @@ object HtmlText {
         }
       } else if (c == '&') {
         // entity window 10 covers the longest numeric form (&#x10FFFF;)
-        // and every named entity in the table
-        val semi = html.indexOf(';', i + 1)
-        if (semi > 0 && semi - i <= 10) {
+        // and every named entity in the table; the terminator search is
+        // BOUNDED to the window — an unbounded indexOf(';') was O(n^2)
+        // on ampersand-dense semicolon-sparse pages (URL query strings,
+        // binary mislabeled as html), a stall no exception surfaces, so
+        // it escaped even the per-row fault envelope
+        var semi = -1
+        var j = i + 1
+        val jEnd = math.min(n, i + 11)
+        while (j < jEnd && semi < 0) {
+          if (html.charAt(j) == ';') semi = j
+          j += 1
+        }
+        var consumed = false
+        if (semi > i + 1) {
           val name = html.substring(i + 1, semi)
-          if (name.length > 1 && name.charAt(0) == '#') {
+          if (name.charAt(0) == '#' && name.length > 1) {
             // numeric character reference, decimal (&#8230;) or hex
             // (&#x27; / &#X27;). Malformed and out-of-range references —
             // &#1114200; (> U+10FFFF), &#-5;, lone surrogates — decode to
@@ -123,9 +141,12 @@ object HtmlText {
             // an uncaught IllegalArgumentException that escaped the old
             // NumberFormatException-only catch and failed the whole stage
             // (an O1 per-document-isolation violation on real crawl data).
-            // Surrogate code points are also rejected: a lone surrogate in
-            // a JVM String is not UTF-8-encodable and would break the
-            // byte-identical extracted-text contract downstream.
+            // Surrogates are rejected too (not UTF-8-encodable — would
+            // break the byte-identical extracted-text contract), as are
+            // control references (&#0; etc. — a NUL in extracted text
+            // poisons every downstream consumer; tab/newline/CR pass).
+            // &#160;/&#xA0; normalize to ' ' exactly like &nbsp; so the
+            // two spellings of NBSP cannot produce different word counts.
             val body = name.substring(1)
             val cp: Int =
               try {
@@ -134,15 +155,24 @@ object HtmlText {
                   Integer.parseInt(body.substring(1), 16)
                 else Integer.parseInt(body)
               } catch { case _: NumberFormatException => -1 }
-            if (cp >= 0 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
+            val isControl = cp == 0x7F || (cp >= 0x80 && cp <= 0x9F) ||
+              (cp < 0x20 && cp != 9 && cp != 10 && cp != 13)
+            if (cp == 0xA0) sb.append(' ')
+            else if (cp >= 0 && cp <= 0x10FFFF && !isControl &&
+                !(cp >= 0xD800 && cp <= 0xDFFF))
               sb.appendCodePoint(cp)
             else sb.append(' ')
-          } else {
+            i = semi + 1
+            consumed = true
+          } else if (name.charAt(0).isLetter &&
+              name.forall(_.isLetterOrDigit)) {
+            // entity-shaped name: decode if known, else RAW passthrough
+            // (prose like "Q&A; next" is not an entity)
             val rep = NamedEntities.get(name)
-            if (rep != null) sb.append(rep) else sb.append(' ')
+            if (rep != null) { sb.append(rep); i = semi + 1; consumed = true }
           }
-          i = semi + 1
-        } else { sb.append(c); i += 1 }
+        }
+        if (!consumed) { sb.append(c); i += 1 }
       } else { sb.append(c); i += 1 }
     }
     sb.toString

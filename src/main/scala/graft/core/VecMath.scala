@@ -9,7 +9,15 @@ package graft.core
   * convention in one of them) would desynchronize assignment from
   * ranking in a way no test names. Sequential loop, no SIMD/reduction
   * reordering — deterministic across JVMs.
-  */
+  *
+  * Degenerate-input conventions (documented divergence from DuckDB's
+  * `list_cosine_similarity`, which errors on length mismatch and yields
+  * NaN on a zero vector): mismatched lengths truncate to the shorter,
+  * and a zero-norm side scores 0.0. The oracle comparison is only
+  * bit-exact over well-formed inputs — fixed-dimension, nonzero vectors,
+  * which the embeddings testdata guarantees; feeding degenerate vectors
+  * through an oracled query would surface as a parity diff, not silent
+  * wrongness. */
 object VecMath {
   def cosine(x: Array[Double], y: Array[Double]): Double = {
     val n = math.min(x.length, y.length)

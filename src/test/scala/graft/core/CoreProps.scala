@@ -79,7 +79,10 @@ object CoreProps extends Properties("graft.core") {
       val dec = HtmlText.extract(s"x&#$cp;y")
       val hex = if (cp >= 0) HtmlText.extract(s"x&#x${cp.toHexString};y")
         else dec
-      val valid = cp >= 0 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF)
+      val control = cp == 0x7F || (cp >= 0x80 && cp <= 0x9F) ||
+        (cp >= 0 && cp < 0x20 && cp != 9 && cp != 10 && cp != 13)
+      val valid = cp >= 0 && cp <= 0x10FFFF &&
+        !(cp >= 0xD800 && cp <= 0xDFFF) && !control && cp != 0xA0
       val expected =
         if (valid) "x" + new String(Character.toChars(cp)) + "y" else "x y"
       dec == expected && hex == expected

@@ -90,8 +90,46 @@ class HtmlTextSpec extends AnyFunSuite {
     assert(HtmlText.extract("<p>a&#57343;b</p>").contains("a b"))
     // non-numeric garbage after '#'
     assert(HtmlText.extract("<p>a&#x;b &#zz; c</p>").contains("a b   c"))
-    // unknown named entity still degrades to a space
-    assert(HtmlText.extract("<p>a&unknown;b</p>").contains("a b"))
+    // control references: NUL and C1 controls must never reach the
+    // extracted bytes (a NUL poisons downstream consumers); tab/LF pass
+    assert(HtmlText.extract("<p>a&#0;b&#31;c&#127;d&#150;e</p>")
+      .contains("a b c d e"))
+    assert(HtmlText.extract("<p>a&#9;b&#10;c</p>").contains("a\tb\nc"))
+    // both spellings of NBSP normalize identically (word-count parity)
+    assert(HtmlText.extract("<p>a&#160;b&#xA0;c&nbsp;d</p>")
+      .contains("a b c d"))
+  }
+
+  test("unknown entity-shaped names and non-entity '&...;' prose pass " +
+      "through RAW — ampersand prose is never silently deleted") {
+    assert(HtmlText.extract("<p>a&unknown;b</p>").contains("a&unknown;b"))
+    assert(HtmlText.extract("<p>Q&A; next</p>").contains("Q&A; next"))
+    assert(HtmlText.extract("<p>R&D budget; approved</p>")
+      .contains("R&D budget; approved"))
+    assert(HtmlText.extract("<p>fish & chips; salt</p>")
+      .contains("fish & chips; salt"))
+    assert(HtmlText.extract("<p>a=1&b=2&c=3</p>").contains("a=1&b=2&c=3"))
+  }
+
+  test("headings emit line breaks (h1-h6 name parse includes the digit)") {
+    val out = HtmlText.extract("<h1>Title</h1><p>Body text</p><h2>Sub</h2>")
+    val lines = out.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    assert(lines == Seq("Title", "Body text", "Sub"), out)
+  }
+
+  test("ampersand-dense semicolon-free page extracts in linear time " +
+      "(bounded entity scan regression)") {
+    // 200k '&'-separated params, no semicolons: the unbounded indexOf(';')
+    // made this O(n^2) — minutes of silent stall that no exception
+    // surfaced (escaping even the per-row fault envelope)
+    val sb = new StringBuilder("<p>")
+    (1 to 200000).foreach(i => sb.append(s"k$i=v$i&"))
+    sb.append("</p>")
+    val t0 = System.nanoTime()
+    val out = HtmlText.extract(sb.toString)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(out.contains("k200000=v200000"))
+    assert(sec < 5.0, f"extract took $sec%.1f s — quadratic entity scan?")
   }
 
   test("entity-decoded punctuation feeds the heuristics: &hellip; counts " +
