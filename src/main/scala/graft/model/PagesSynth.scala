@@ -179,13 +179,17 @@ object PagesSynth {
   }
 
   private def piiString(rnd: Random): String = rnd.nextInt(9) match {
-    case 0 => f"${100 + rnd.nextInt(900)}%03d-${10 + rnd.nextInt(90)}%02d-${1000 + rnd.nextInt(9000)}%04d"
+    // s-interpolation, NOT f"%0Nd": the ranges already guarantee the digit
+    // widths, and String.format uses the DEFAULT LOCALE — a JVM with
+    // non-Latin digit locales would emit e.g. Arabic-Indic digits, breaking
+    // both the planted-PII truth labels and cross-platform byte identity
+    case 0 => s"${100 + rnd.nextInt(900)}-${10 + rnd.nextInt(90)}-${1000 + rnd.nextInt(9000)}"
     case 1 => (1 to 9).map(_ => rnd.nextInt(10)).mkString // routing
     case 2 => (1 to (10 + rnd.nextInt(8))).map(_ => rnd.nextInt(10)).mkString // account
     case 3 => s"credit score: ${600 + rnd.nextInt(250)}"
     case 4 => s"credit report: ${IndexedSeq("very good", "good", "excellent", "fair", "poor", "bad")(rnd.nextInt(6))}"
     case 5 => (1 to 4).map(_ => 1000 + rnd.nextInt(9000)).mkString("-") // card
-    case 6 => f"(${200 + rnd.nextInt(800)}%03d) ${200 + rnd.nextInt(800)}%03d-${1000 + rnd.nextInt(9000)}%04d"
+    case 6 => s"(${200 + rnd.nextInt(800)}) ${200 + rnd.nextInt(800)}-${1000 + rnd.nextInt(9000)}"
     case 7 => s"user${rnd.nextInt(10000)}@example${rnd.nextInt(100)}.com"
     case 8 => (1 to 4).map(_ => 1 + rnd.nextInt(254)).mkString(".")
   }
@@ -256,7 +260,11 @@ object PagesSynth {
       var attempt = 0
       var ok = false
       while (!ok && attempt < 20) {
-        text = attemptText(attempt)
+        // attempt 0 was already generated above — recomputing it doubled
+        // the text-generation cost of every validated row (most docs
+        // validate on the first attempt); attemptText is deterministic
+        // per (id, attempt), so skipping the recompute is byte-identical
+        if (attempt > 0) text = attemptText(attempt)
         val evalText = evalTextOf(text)
         ok =
           if (defect == "none") {

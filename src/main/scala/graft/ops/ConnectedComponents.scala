@@ -88,6 +88,22 @@ object ConnectedComponents {
     * DF(id, cluster_id) with cluster_id = the component's minimum node
     * id. Nodes with no edges are the caller's concern (they are their
     * own singleton clusters by definition). */
+  /** Release the storage blocks of a `localCheckpoint(true)`-ed frame.
+    * `Dataset.unpersist` only clears CacheManager entries; checkpoint
+    * blocks belong to the RDD inside the plan's LogicalRDD leaf, so they
+    * are freed there. Without this, an O(log n)-round run holds TWO edge
+    * copies per iteration in the storage tier until driver GC happens to
+    * trigger the ContextCleaner — on a large edge set that evicts or
+    * spills live data for the rest of the job. Called only AFTER the
+    * successor frame is materialized (the checkpoint truncated lineage,
+    * so nothing downstream re-reads the released blocks). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def labels(edges0: DataFrame, maxPhases: Int = 64): DataFrame = {
     val orig = edges0
       .select(col("src").cast("long").as("src"),
@@ -103,6 +119,11 @@ object ConnectedComponents {
     while (!converged && phases < maxPhases) {
       val (e1, _) = checkpointObserved(largeStar(e), signature)
       val (e2, sig) = checkpointObserved(smallStar(e1), signature)
+      // e2 is materialized: the previous edge set and the large-star
+      // intermediate are dead — release their blocks now (orig is still
+      // needed by the verification join below)
+      if (e ne orig) releaseCheckpoint(e)
+      releaseCheckpoint(e1)
       val cnt = sig.getLong(0)
       val h = sig.getDecimal(1)
       converged = cnt == prevCnt &&
@@ -119,6 +140,7 @@ object ConnectedComponents {
       .unionAll(e.select(col("dst").as("id"), col("dst").as("cluster_id")))
       .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
       .localCheckpoint(true)
+    if (e ne orig) releaseCheckpoint(e) // lab is materialized
 
     // fail loudly rather than emit an inconsistent labeling (also guards
     // the probabilistic signature convergence): every original edge must
@@ -127,6 +149,7 @@ object ConnectedComponents {
     val lb = lab.select(col("id").as("dst"), col("cluster_id").as("cb"))
     val violations = orig.join(la, "src").join(lb, "dst")
       .filter(col("ca") =!= col("cb")).count()
+    releaseCheckpoint(orig)
     require(violations == 0,
       s"connected components labeling inconsistent on $violations edges")
     lab

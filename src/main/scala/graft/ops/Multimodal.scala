@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-local batches.
@@ -96,6 +96,13 @@ object Multimodal {
     blobs.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         val metas = decoder.decodeBatch(batch.map(_.blob))
+        // fail loudly: a decoder that skips an undecodable blob instead of
+        // throwing would otherwise misalign every following blob's
+        // metadata via lazyZip truncation AND silently drop the last row —
+        // per-blob failures belong in per-blob sentinel values, not in a
+        // shortened batch
+        require(metas.length == batch.length,
+          s"decoder returned ${metas.length} metas for ${batch.length} blobs")
         batch.lazyZip(metas).map { case (b, (w, h, c, d)) =>
           MediaFeatures(b.doc_id, b.blob.length.toLong, w, h, c, d,
             frameSample(d, everyMs = 5000), StubDecoder.contentHash(b.blob))

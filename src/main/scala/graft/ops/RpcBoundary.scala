@@ -19,10 +19,17 @@ import org.apache.spark.sql.{Dataset, Encoder}
   *     through `onError` — one bad document never fails a stage (O1).
   */
 trait RpcClient[Req, Resp] extends AutoCloseable {
-  /** Process one micro-batch; must be deterministic per request. */
+  /** Process one micro-batch; must be deterministic per request and
+    * return EXACTLY one response per request, in order. */
   def call(batch: Seq[Req]): Seq[Resp]
   override def close(): Unit = ()
 }
+
+/** A client returned the wrong number of responses for a batch — silent
+  * row loss / fabrication, not a transient fault: this must FAIL THE
+  * TASK (Spark retries it; an operator investigates the client), never
+  * be retried into the output or data-fied through `onError`. */
+final class RpcContractViolation(msg: String) extends RuntimeException(msg)
 
 object RpcBoundary {
 
@@ -47,24 +54,52 @@ object RpcBoundary {
         c
       }
 
+      // NonFatal only: task kills (InterruptedException) and VM errors
+      // must propagate — retrying or data-fying them would commit
+      // corrupted output instead of failing the task. RpcContractViolation
+      // also propagates: a response-count mismatch is a client BUG
+      // (silent row loss), not a transient to degrade around.
+      import scala.util.control.NonFatal
+
+      def checked(reqs: Seq[A]): Seq[B] = {
+        val r = client.call(reqs)
+        if (r.length != reqs.length)
+          throw new RpcContractViolation(
+            s"client returned ${r.length} responses for ${reqs.length} requests")
+        r
+      }
+
+      // per-item calls get the SAME full backoff schedule as the batch:
+      // a transient blip during degradation must not permanently convert
+      // a good row into an onError row (only truly poisoned items may)
+      def callItemWithRetry(item: A): B = {
+        var a = 0
+        var lastErr: Throwable = null
+        while (a <= backoffMs.length) {
+          try return checked(Seq(item)).head
+          catch {
+            case v: RpcContractViolation => throw v
+            case NonFatal(ie) =>
+              lastErr = ie
+              if (a < backoffMs.length) Thread.sleep(backoffMs(a))
+              a += 1
+          }
+        }
+        onError(item, lastErr)
+      }
+
       def callWithRetry(batch: Seq[A]): Seq[B] = {
-        // NonFatal only: task kills (InterruptedException) and VM errors
-        // must propagate — retrying or data-fying them would commit
-        // corrupted output instead of failing the task
-        import scala.util.control.NonFatal
         var attempt = 0
         while (true) {
-          try return client.call(batch)
+          try return checked(batch)
           catch {
+            case v: RpcContractViolation => throw v
             case NonFatal(_) if attempt < backoffMs.length =>
               Thread.sleep(backoffMs(attempt))
               attempt += 1
             case NonFatal(_) if batch.length > 1 =>
               // degrade to per-item calls: isolate the poisoned rows
-              return batch.map { item =>
-                try client.call(Seq(item)).head
-                catch { case NonFatal(ie) => onError(item, ie) }
-              }
+              return batch.map(callItemWithRetry)
             case NonFatal(e) =>
               return Seq(onError(batch.head, e))
           }

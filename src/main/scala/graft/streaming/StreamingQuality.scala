@@ -28,9 +28,11 @@ object StreamingQuality {
     * unbounded first-seen map is the one structure that grows without
     * limit, so the bounds are in code, not left to callers:
     *
-    *   - per key: at most `maxFingerprints` fingerprints, oldest-first
-    *     eviction (newest-N; an evicted fingerprint that re-appears is
-    *     re-emitted — the standard recall trade-off of bounded dedup);
+    *   - per key: at most `maxFingerprints` fingerprints, LRU eviction
+    *     (a hit refreshes recency, so the actively recurring fingerprint
+    *     is retained and stale one-offs evict first; an evicted
+    *     fingerprint that re-appears is re-emitted — the standard recall
+    *     trade-off of bounded dedup);
     *   - across keys: `ProcessingTimeTimeout` of `ttl` — a URL not crawled
     *     within the TTL has its state dropped at the next micro-batch, and
     *     a later re-crawl is treated as first-seen again.
@@ -68,10 +70,21 @@ object StreamingQuality {
             state.getOption.map(_.seenFingerprints).getOrElse(Seq.empty): _*)
           val out = Vector.newBuilder[(String, String)]
           rows.foreach { case (u, t, fp) =>
-            if (seen.add(fp)) out += ((u, t)) // first occurrence ever wins
+            if (seen.contains(fp)) {
+              // refresh recency on a hit (true LRU): without the
+              // remove+re-add, a page's CURRENT content — re-seen every
+              // batch, inserted long ago — would be the FIRST fingerprint
+              // evicted once stale one-offs fill the cap, and the very
+              // next unchanged re-crawl would re-emit as "first seen"
+              seen.remove(fp)
+              seen.add(fp)
+            } else {
+              seen.add(fp)
+              out += ((u, t)) // first occurrence wins
+            }
           }
-          // newest-N cap: evict oldest insertion first (LinkedHashSet
-          // preserves insertion order, so head is the oldest)
+          // cap: evict least-recently-SEEN first (LinkedHashSet preserves
+          // insertion order and hits re-insert, so head is the LRU entry)
           while (seen.size > maxFingerprints) seen.remove(seen.head)
           val fresh = out.result()
           state.update(SeenState(seen.toSeq))

@@ -289,6 +289,40 @@ class OpsSpec extends AnyFunSuite {
     assert(out.filter(_._1 != 137L).forall(r => r._2 == s"ok-${r._1}"))
   }
 
+  test("rpc boundary: a short client response fails the task loudly " +
+      "(contract violation), never silent row loss") {
+    import spark.implicits._
+    val thrown = intercept[org.apache.spark.SparkException] {
+      graft.ops.RpcBoundary.mapWithClient[Long, (Long, String)](
+        spark.range(0, 64, 1, 1).as[Long],
+        mkClient = () => new ShortRpcProbe,
+        onError = (id, e) => (id, s"ERR:${e.getMessage}"),
+        batchSize = 16,
+        backoffMs = Seq(0L)).collect()
+    }
+    // the violation must reach the driver as a task failure, not be
+    // retried into the output or data-fied through onError
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(thrown).exists(
+      _.isInstanceOf[graft.ops.RpcContractViolation]), thrown.toString)
+  }
+
+  test("multimodal: a decoder returning fewer metas than blobs fails " +
+      "loudly instead of misaligning metadata (lazyZip truncation)") {
+    import spark.implicits._
+    val blobs = (0L until 32L).map(i => graft.ops.MediaBlob(i,
+      s"blob-$i".getBytes("UTF-8"))).toDS()
+    val thrown = intercept[org.apache.spark.SparkException] {
+      graft.ops.Multimodal.extractFeatures(blobs, ShortDecoder, 16).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(thrown).exists(t =>
+      t.isInstanceOf[IllegalArgumentException] &&
+        t.getMessage.contains("metas")), thrown.toString)
+  }
+
   test("multimodal batched decode: deterministic, batch-shaped, framed") {
     val a = SparkEntry.queries("mm_decode_features")(spark, dir).collect()
     val b = SparkEntry.queries("mm_decode_features")(spark, dir).collect()
@@ -355,6 +389,20 @@ object RpcProbe {
   val transientFails = new java.util.concurrent.atomic.AtomicInteger(0)
   def reset(): Unit = { constructed.set(0); closed.set(0); maxBatch.set(0)
     transientFails.set(0) }
+}
+
+/** Buggy client: silently drops the last request of every multi-request
+  * batch (returns n-1 responses) — the row-loss contract violation. */
+class ShortRpcProbe extends graft.ops.RpcClient[Long, (Long, String)] {
+  override def call(batch: Seq[Long]): Seq[(Long, String)] =
+    batch.dropRight(if (batch.length > 1) 1 else 0)
+      .map(id => (id, s"ok-$id"))
+}
+
+/** Buggy decoder: skips one blob per batch instead of throwing. */
+object ShortDecoder extends graft.ops.MediaDecoder {
+  override def decodeBatch(blobs: Seq[Array[Byte]]): Seq[(Int, Int, Int, Int)] =
+    graft.ops.StubDecoder.decodeBatch(blobs.drop(1))
 }
 
 /** JVM-singleton probe decoder: counts multi-row batches it receives. */

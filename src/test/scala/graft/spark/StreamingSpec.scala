@@ -200,6 +200,43 @@ class StreamingSpec extends AnyFunSuite {
       s"expected A re-admitted after cap eviction, got $out")
   }
 
+  test("stateful dedup cap is LRU, not FIFO: the actively recurring " +
+      "fingerprint survives stale one-offs filling the cap") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_dedup_lru").toString
+    def write(rows: Seq[(String, String)], mode: String): Unit =
+      rows.toDF("url", "text").write.mode(mode).parquet(s"$dir/in")
+    write(Seq(("u1", "A")), "overwrite")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+      val q = graft.streaming.StreamingQuality
+        .dedupFirstSeen(stream, maxFingerprints = 2)
+        .toDF("url", "text")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.Once()).start()
+      awaitDone(q)
+    }
+    runOnce()
+    // each batch re-sees the page's CURRENT content A (a hit, refreshing
+    // recency) plus one fresh stale fingerprint; under FIFO eviction A —
+    // the oldest insertion — would be evicted at the cap and the next
+    // unchanged re-crawl would wrongly re-emit as first-seen
+    Seq("X", "Y", "Z").foreach { stale =>
+      write(Seq(("u1", "A"), ("u1", stale)), "append")
+      runOnce()
+    }
+    write(Seq(("u1", "A")), "append")
+    runOnce()
+    val emittedA = spark.read.parquet(s"$dir/out").as[(String, String)]
+      .collect().count(_ == (("u1", "A")))
+    assert(emittedA == 1,
+      s"content A re-emitted $emittedA times — cap evicted the live " +
+        "fingerprint (FIFO) instead of a stale one (LRU)")
+  }
+
   test("stateful dedup at realistic key cardinality: 100k distinct urls, " +
       "state rows stay == keys (not keys x batches), memory flat once the " +
       "per-key cap is reached, batch latency flat") {
