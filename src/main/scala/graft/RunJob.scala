@@ -157,7 +157,8 @@ object RunJob {
       val finalVersion =
         if (args.compact)
           IcebergStyleTable.compact(spark, tableRoot(args),
-            Seq("part_date")).version
+            Seq("part_date"),
+            saltBuckets = math.min(4, args.saltBuckets)).version
         else snap.version
       JobResult(results, finalVersion, snap.rowCount,
         committedThisRun = true)

@@ -181,7 +181,13 @@ object Kernels {
         words += text.substring(w0, i).toLowerCase(java.util.Locale.ROOT)
     }
     val out = new java.util.LinkedHashSet[String]()
-    if (words.length < 3) {
+    if (words.isEmpty) {
+      // EMPTY array, aligned with Dedup.shingles(""): a single
+      // empty-string shingle would score any two blank docs at Jaccard
+      // 1.0 and glue every blank document into one mega-cluster — the
+      // exact degenerate cluster the banding skew guard (no bands for
+      // blank docs) exists to prevent
+    } else if (words.length < 3) {
       out.add(words.mkString(" "))
     } else {
       var j = 0

@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Resumable batch execution with per-partition progress manifests and
@@ -38,10 +38,15 @@ object CheckpointedRun {
   def completedPartitions(root: String, runId: String): Set[Int] = {
     val d = progressDir(root, runId)
     if (!Files.exists(d)) Set.empty
-    else Files.list(d).iterator().asScala.map(_.getFileName.toString)
-      .collect { case s if s.startsWith("partition=") && s.endsWith(".json") =>
-        s.stripPrefix("partition=").stripSuffix(".json").toInt }
-      .toSet
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("partition=") &&
+            n.endsWith(".json") =>
+          n.stripPrefix("partition=").stripSuffix(".json").toInt }
+        .toSet
+      finally s.close()
+    }
   }
 
   /** Run `transform` over `input` split into `numPartitions` logical
@@ -88,6 +93,13 @@ object CheckpointedRun {
         numPartitions.toString.getBytes(StandardCharsets.UTF_8))
     }
 
+    // fully-completed rerun: skip staging entirely — the staged copy is
+    // deleted after completion (below), and rebuilding it just to skip
+    // every partition would be a full input copy for nothing
+    if (done.size >= numPartitions)
+      return (0 until numPartitions)
+        .map(k => PartitionResult(k, -1, skipped = true))
+
     val staged = prebucketed match {
       case Some(path) =>
         // zero-copy: trust-but-verify the layout — the bucket scheme is
@@ -132,9 +144,12 @@ object CheckpointedRun {
         // mis-keying with high probability). The limit-32 reads run a few
         // at a time on the scheduler instead of P sequential driver
         // round-trips.
-        val step = math.max(1, bucketDirs.size / 64)
+        // CEIL stride: floor + take(64) would check only the FIRST 64
+        // dirs for 64 < P < 128, never sampling the upper buckets — a
+        // layout mis-keyed only in its tail would pass
+        val step = (bucketDirs.size + 63) / 64
         val sampled = bucketDirs.indices.collect {
-          case idx if idx % step == 0 => bucketDirs(idx)
+          case idx if idx % math.max(1, step) == 0 => bucketDirs(idx)
         }.take(64)
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(8, math.max(1, sampled.size)))
@@ -171,7 +186,7 @@ object CheckpointedRun {
     }
 
     var fresh = 0
-    (0 until numPartitions).map { k =>
+    val results = (0 until numPartitions).map { k =>
       if (done.contains(k)) PartitionResult(k, -1, skipped = true)
       else {
         if (fresh >= failAfter)
@@ -186,18 +201,36 @@ object CheckpointedRun {
         out.write.mode("overwrite").parquet(outPath)
 
         // per-stage metrics from the committed output (one cheap scan of
-        // the partition's own parquet — no recompute of the pipeline)
+        // the partition's own parquet — no recompute of the pipeline).
+        // Schema-tolerant + null-safe: (a) sum() over an EMPTY partition
+        // (every row filtered, or fewer rows than partitions) returns
+        // NULL and a bare getLong would NPE AFTER the data committed but
+        // BEFORE the manifest — resume would then re-crash on the same
+        // partition forever; (b) a non-pipeline transform lacks the
+        // quality columns — its metrics degrade to zero instead of
+        // failing the run post-write
         val written = spark.read.parquet(outPath)
+        val cols = written.columns.toSet
+        def m0(c: Column): Column = coalesce(c, lit(0L))
         val m = written.agg(
           count(lit(1)).as("rows"),
-          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
-          sum(col("n_redacted").cast("long")).as("scrub_n_redacted"),
-          sum(when(col("lang_conf") < lit(graft.model.PagesSynth.LangConfMin),
-            1L).otherwise(0L)).as("langid_n_low_conf"),
-          sum(when(col("perplexity") > lit(graft.model.PagesSynth.PerplexityMax),
-            1L).otherwise(0L)).as("perplexity_n_high"),
-          sum(size(filter(col("rule_lineage"), r => r("fired"))).cast("long"))
-            .as("heuristics_n_fired")).collect()(0)
+          (if (cols("keep"))
+            m0(sum(when(col("keep"), 1L).otherwise(0L)))
+          else lit(0L)).as("n_keep"),
+          (if (cols("n_redacted")) m0(sum(col("n_redacted").cast("long")))
+          else lit(0L)).as("scrub_n_redacted"),
+          (if (cols("lang_conf"))
+            m0(sum(when(col("lang_conf") <
+              lit(graft.model.PagesSynth.LangConfMin), 1L).otherwise(0L)))
+          else lit(0L)).as("langid_n_low_conf"),
+          (if (cols("perplexity"))
+            m0(sum(when(col("perplexity") >
+              lit(graft.model.PagesSynth.PerplexityMax), 1L).otherwise(0L)))
+          else lit(0L)).as("perplexity_n_high"),
+          (if (cols("rule_lineage"))
+            m0(sum(size(filter(col("rule_lineage"), r => r("fired")))
+              .cast("long")))
+          else lit(0L)).as("heuristics_n_fired")).collect()(0)
         val rows = m.getLong(0)
         val wall = (System.nanoTime() - t0) / 1e9
         val (stageNanos, _) =
@@ -224,6 +257,21 @@ object CheckpointedRun {
         PartitionResult(k, rows, skipped = false)
       }
     }
+    // every partition is complete: reclaim the staged input copy —
+    // leaving it would permanently double storage for every finished run
+    // (at the 100 TB design point, a 100 TB orphan per run id). Only the
+    // run's OWN staged dir is touched; prebucketed inputs belong to the
+    // caller. A rerun after this cleanup takes the all-skipped early
+    // return above and never re-reads the staged path.
+    if (prebucketed.isEmpty) {
+      val stagedPath = Paths.get(root, "_staged", s"run=$runId")
+      if (Files.exists(stagedPath)) {
+        val s = Files.walk(stagedPath)
+        val all = try s.iterator().asScala.toSeq finally s.close()
+        all.reverse.foreach(Files.deleteIfExists(_))
+      }
+    }
+    results
   }
 
   /** Read the final output of a (possibly resumed) run. */
@@ -233,8 +281,12 @@ object CheckpointedRun {
   /** The metrics manifests as a queryable DataFrame (metrics table, O4). */
   def metricsTable(spark: SparkSession, root: String, runId: String): DataFrame = {
     val d = progressDir(root, runId)
-    val files = Files.list(d).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".json")).map(_.toString).toSeq
+    val s = Files.list(d)
+    val files =
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json"))
+        .map(_.toString).toSeq
+      finally s.close()
     spark.read.json(files: _*)
   }
 }

@@ -100,9 +100,13 @@ object IcebergStyleTable {
         s"snapshot version $version at $root is already claimed by " +
           "another committer; re-read currentVersion and retry")
     if (!tryCreate()) {
-      val committed =
-        Files.exists(metaDir(root).resolve(s"snap-$version.json")) ||
-          currentVersion(root) >= version
+      // committed == the hint reached this version. Deliberately NOT
+      // "snap-N.json exists": the snapshot file is written BEFORE the
+      // hint flip, so a writer killed between the two leaves an orphaned
+      // snap-N.json — treating that as committed would make the stale
+      // claim unreclaimable and wedge the table on exactly the crash the
+      // lease exists to recover from.
+      val committed = currentVersion(root) >= version
       val ageMs =
         try System.currentTimeMillis() -
           Files.getLastModifiedTime(claim).toMillis
@@ -126,8 +130,12 @@ object IcebergStyleTable {
     * recomputes the same version and hits the stale claim). The release
     * is OWNERSHIP-CHECKED via the claim nonce: a failing writer whose
     * claim was already lease-reclaimed must not delete the reclaimer's
-    * live claim. A SUCCESSFUL commit keeps the claim file: the hint has
-    * advanced past it, and it doubles as a record of the committer. */
+    * live claim. The read-then-delete is not atomic, so this NARROWS the
+    * already-lease-sized race (reclaim must land exactly between the
+    * failing writer's ownership read and its delete) rather than closing
+    * it — a fencing metastore CAS closes it outright; on plain files this
+    * is the honest limit. A SUCCESSFUL commit keeps the claim file: the
+    * hint has advanced past it, and it doubles as a committer record. */
   private def withClaim[A](root: String, version: Int)(body: => A): A = {
     val nonce = claimVersion(root, version)
     try body
@@ -161,10 +169,14 @@ object IcebergStyleTable {
   private def listGenFiles(root: String, version: Int): Seq[String] = {
     val g = dataDir(root).resolve(genName(version))
     if (!Files.exists(g)) Seq.empty
-    else Files.walk(g).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-      .map(p => dataDir(root).relativize(p).toString)
-      .toSeq.sorted
+    else {
+      val s = Files.walk(g)
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(p => dataDir(root).relativize(p).toString)
+        .toSeq.sorted
+      finally s.close()
+    }
   }
 
   private def q(s: String): String = "\"" + s.replace("\\", "\\\\")
@@ -287,16 +299,26 @@ object IcebergStyleTable {
     * atomically via the version hint, and generations no longer referenced
     * by the current snapshot are retired AFTER the flip (single-snapshot
     * retention; keep them to retain time-travel). */
+  /** `saltBuckets`: like append's salt, bounds the hottest partition
+    * dir's rewrite to that many reducers instead of ONE (a Zipf-skewed
+    * table would otherwise funnel its hottest part_date through a single
+    * task — the exact skew failure append's salting exists to avoid).
+    * The salt hashes ALL columns (deterministic per row), so each
+    * partition dir compacts to at most `saltBuckets` files — the default
+    * of 1 maximizes file merging; raise it on skewed tables (RunJob
+    * does). */
   def compact(spark: SparkSession, root: String, partitionCols: Seq[String],
-              filesPerPartitionDir: Int = 1): Snapshot = {
+              saltBuckets: Int = 1): Snapshot = {
     val current = read(spark, root)
     val version = currentVersion(root) + 1
     withClaim(root, version) {
     val liveGens = manifest(root, version - 1)
       .map(f => f.takeWhile(_ != '/')).distinct
 
+    val salt = pmod(xxhash64(current.columns.map(col): _*),
+      lit(saltBuckets))
     val compacted = current
-      .repartition(partitionCols.map(col): _*)
+      .repartition((partitionCols.map(col) :+ salt): _*)
       .sortWithinPartitions(partitionCols.map(col): _*)
     val dest = dataDir(root).resolve(genName(version)).toString
     val rowCount = writeCounted(compacted, version, partitionCols, dest)
@@ -316,20 +338,28 @@ object IcebergStyleTable {
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
+      val s = Files.walk(p)
+      val all = try s.iterator().asScala.toSeq finally s.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
     }
   }
 
-  /** Version of the snapshot whose JSON carries `"key":"value"` (written
-    * via `append(extraMeta = ...)`), if any — the durable-commit lookup
-    * for callers that stamp their identity into the snapshot (RunJob's
-    * exactly-once guard survives a kill between hint flip and any
-    * caller-side marker precisely because this record IS the commit). */
+  /** Version of the COMMITTED snapshot whose JSON carries `"key":"value"`
+    * (written via `append(extraMeta = ...)`), if any — the durable-commit
+    * lookup for callers that stamp their identity into the snapshot
+    * (RunJob's exactly-once guard survives a kill between hint flip and
+    * any caller-side marker precisely because this record IS the commit).
+    *
+    * Restricted to versions <= the hinted currentVersion: snap-N.json is
+    * written BEFORE the hint flip, so an append killed between the two
+    * leaves an orphaned snapshot file for a version that never became
+    * visible — counting it as committed would make the caller skip its
+    * retry and silently lose the run's data. */
   def findSnapshotWithMeta(root: String, key: String,
                            value: String): Option[Int] = {
     val needle = s"${q(key)}:${q(value)}"
-    snapshots(root).find { v =>
+    val committed = currentVersion(root)
+    snapshots(root).filter(_ <= committed).find { v =>
       try new String(Files.readAllBytes(
         metaDir(root).resolve(s"snap-$v.json")), StandardCharsets.UTF_8)
         .contains(needle)
@@ -349,10 +379,14 @@ object IcebergStyleTable {
   def snapshots(root: String): Seq[Int] = {
     val m = metaDir(root)
     if (!Files.exists(m)) Seq.empty
-    else Files.list(m).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("snap-") =>
-        s.stripPrefix("snap-").stripSuffix(".json").toInt }
-      .toSeq.sorted
+    else {
+      val s = Files.list(m)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("snap-") =>
+          n.stripPrefix("snap-").stripSuffix(".json").toInt }
+        .toSeq.sorted
+      finally s.close()
+    }
   }
 }

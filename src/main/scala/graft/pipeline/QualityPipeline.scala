@@ -71,9 +71,15 @@ object QualityPipeline {
       // html_text path escaped it)
       .withColumn("hx",
         when(col("needs_extract"), html_text_safe(col("html"))))
+      // no isNotNull filter on raw_text: it is provably non-null (rows
+      // with both fields null were removed above; needs_extract rows read
+      // hx.text, a non-nullable field of a non-null struct; the rest read
+      // non-null text) — and the pushed-down predicate would re-evaluate
+      // html_text_safe a second time per html row in the FilterExec
+      // (subexpression elimination is per-operator), doubling the most
+      // expensive kernel on the extract path for nothing
       .withColumn("raw_text",
         when(col("needs_extract"), col("hx.text")).otherwise(col("text")))
-      .filter(col("raw_text").isNotNull)
       .withColumn("p", page_process(col("raw_text")))
       .select(
         col("url"),

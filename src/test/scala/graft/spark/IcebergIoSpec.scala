@@ -79,6 +79,17 @@ class IcebergIoSpec extends AnyFunSuite {
     val done1 = CheckpointedRun.completedPartitions(root, runId)
     assert(done1.size == 3, s"expected 3 completed, got $done1")
 
+    // scan discipline (checked MID-RUN — the staged copy is reclaimed on
+    // completion): the source was bucketed ONCE into a staged hive copy;
+    // per-partition reads prune to a single _bucket directory
+    val staged = Paths.get(root, "_staged", s"run=$runId")
+    assert(Files.exists(staged.resolve("_SUCCESS")))
+    assert(Files.exists(staged.resolve("_bucket=0")))
+    val prunedPlan = spark.read.parquet(staged.toString)
+      .filter(col("_bucket") === 3).queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("PartitionFilters") &&
+      prunedPlan.contains("_bucket"), prunedPlan.take(1500))
+
     // resume: completed partitions are skipped (zero recomputation)
     val results = CheckpointedRun.run(spark, input, "url", transform, root,
       runId, numPartitions = 8)
@@ -104,15 +115,16 @@ class IcebergIoSpec extends AnyFunSuite {
     assert(metrics.columns.contains("stages"))
     assert(metrics.agg(sum("rows")).head().getLong(0) == 400L)
 
-    // scan discipline: the source was bucketed ONCE into a staged hive
-    // copy; per-partition reads prune to a single _bucket directory
-    val staged = Paths.get(root, "_staged", s"run=$runId")
-    assert(Files.exists(staged.resolve("_SUCCESS")))
-    assert(Files.exists(staged.resolve("_bucket=0")))
-    val prunedPlan = spark.read.parquet(staged.toString)
-      .filter(col("_bucket") === 3).queryExecution.executedPlan.toString
-    assert(prunedPlan.contains("PartitionFilters") &&
-      prunedPlan.contains("_bucket"), prunedPlan.take(1500))
+    // storage discipline: the staged input copy is reclaimed once every
+    // partition completed (it would otherwise double storage per finished
+    // run), and a rerun after cleanup is an all-skip no-op that never
+    // re-reads (or rebuilds) the staged path
+    assert(!Files.exists(staged),
+      "staged copy must be reclaimed after the run completes")
+    val rerun = CheckpointedRun.run(spark, input, "url", transform, root,
+      runId, numPartitions = 8)
+    assert(rerun.forall(_.skipped))
+    assert(!Files.exists(staged))
   }
 
   test("concurrent committers: the second writer of the same version fails " +
@@ -129,6 +141,23 @@ class IcebergIoSpec extends AnyFunSuite {
     // table is unchanged and still readable at version 1
     assert(IcebergStyleTable.currentVersion(root) == 1)
     assert(IcebergStyleTable.read(spark, root).count() == 100)
+  }
+
+  test("findSnapshotWithMeta ignores orphaned snapshots (snap json written " +
+      "but hint never flipped) — a killed append must not read as " +
+      "committed, or the caller would skip its retry and lose the data") {
+    val root = tmpDir("orphan")
+    val df = QualityPipeline(PagesSynth.pages(spark, 100, 2))
+    IcebergStyleTable.append(df, root, Seq("part_date"), "url", 8, 2,
+      extraMeta = Map("run_id" -> "rX"))
+    assert(IcebergStyleTable.findSnapshotWithMeta(root, "run_id", "rX")
+      == Some(1))
+    // simulate an append killed between snap-2.json write and hint flip
+    Files.write(Paths.get(root, "metadata", "snap-2.json"),
+      """{"version":2,"run_id":"rY","added_rows":100}""".getBytes("UTF-8"))
+    assert(IcebergStyleTable.findSnapshotWithMeta(root, "run_id", "rY")
+      .isEmpty, "orphaned snapshot counted as committed")
+    assert(IcebergStyleTable.currentVersion(root) == 1)
   }
 
   test("a claim abandoned by a DEAD committer (no snapshot, older than the " +
