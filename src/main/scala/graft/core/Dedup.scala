@@ -144,12 +144,16 @@ object Dedup {
         bit += 1
       }
     }
+    // each word hashed ONCE, previous hash carried for the bigram vote
+    // (the bigram-at-i formulation re-hashed every word up to 3x); vote
+    // multiset is identical — same simhash bit-for-bit
     var i = 0
+    var prevH = 0L
     while (i < ws.length) {
-      val h = mix(NGramLM.hashWord(ws(i)))
-      vote(h)
-      if (i + 1 < ws.length)
-        vote(mix(NGramLM.combine(NGramLM.hashWord(ws(i)), NGramLM.hashWord(ws(i + 1)))))
+      val h = NGramLM.hashWord(ws(i))
+      vote(mix(h))
+      if (i > 0) vote(mix(NGramLM.combine(prevH, h)))
+      prevH = h
       i += 1
     }
     var out = 0L

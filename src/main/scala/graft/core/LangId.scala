@@ -32,22 +32,6 @@ object LangId {
 
   val languages: IndexedSeq[String] = SeedCorpus.languages
 
-  /** FNV-1a 32-bit over the chars of s[from, until). */
-  private def fnv1a(s: CharSequence, from: Int, until: Int): Int = {
-    var h = 0x811c9dc5
-    var i = from
-    while (i < until) {
-      val c = s.charAt(i)
-      h = (h ^ (c & 0xff)) * 0x01000193
-      h = (h ^ ((c >> 8) & 0xff)) * 0x01000193
-      i += 1
-    }
-    h
-  }
-
-  private def bucket(s: CharSequence, from: Int, until: Int): Int =
-    fnv1a(s, from, until) & BucketMask
-
   /** Reusable per-thread histogram: counts + insertion-ordered touched
     * list, reset by touched indices (never a full 128 KB clear). */
   private final class Scratch {
@@ -143,7 +127,10 @@ object LangId {
 
   /** Predict (language, confidence) for a text. Empty/blank → ("und", 0.0). */
   def predict(text: String): (String, Double) = {
-    if (text == null || text.isEmpty) return ("und", 0.0)
+    // isBlank, not just isEmpty: whitespace-only text would otherwise be
+    // padded to "< ... >" and scored against real n-gram profiles,
+    // returning an arbitrary language with nonzero confidence
+    if (text == null || text.isBlank) return ("und", 0.0)
     val profs = profilesInterleaved
     val scratch = scratchTL.get()
     try {

@@ -76,8 +76,29 @@ object PiiDetector {
       .foreach(c => t(c) = true)
     t
   }
+
+  /** Non-ASCII chars the email class matches under CASE_INSENSITIVE |
+    * UNICODE_CASE — [a-zA-Z] case-folds onto U+017F (long s), U+212A
+    * (Kelvin), U+0130/U+0131 (dotted/dotless I), etc. Derived from the
+    * COMPILED pattern itself (one 64k sweep at class load), so the
+    * dispatch gate is exact by construction instead of hand-listing fold
+    * pairs: a hand-table that missed one fold char made scanFast skip
+    * emails the combined regex matches — unscrubbed PII (verified:
+    * ſmith@example.com matched scan() but not scanFast). */
+  private val emailExtraChars: java.util.BitSet = {
+    val p = Pattern.compile("[a-zA-Z0-9._%+-]", flags)
+    val bs = new java.util.BitSet(0x10000)
+    var c = 128
+    while (c < 0x10000) {
+      val ch = c.toChar
+      if (!Character.isSurrogate(ch) &&
+          p.matcher(String.valueOf(ch)).matches()) bs.set(c)
+      c += 1
+    }
+    bs
+  }
   @inline private def inEmailClass(c: Char): Boolean =
-    c < 128 && emailLocalClass(c)
+    if (c < 128) emailLocalClass(c) else emailExtraChars.get(c)
 
   /** First-char-dispatch scanner — semantically identical to [[scan]]
     * (differential-tested), ~2-3x faster on webtext.
@@ -118,7 +139,14 @@ object PiiDetector {
     var pos = 0
     while (pos < n) {
       val c = text.charAt(pos)
-      val digit = Character.isDigit(c)
+      // astral decimal digits (e.g. MATHEMATICAL BOLD DIGITS, U+1D7CE+)
+      // ARE \d under UNICODE_CHARACTER_CLASS: the high surrogate alone is
+      // not a digit char, so a char-level gate skipped positions where
+      // the regex matches — unscrubbed PII. For astral digits the cheap
+      // next-two-digits pruning is skipped and the regex settles it.
+      val astralDigit = Character.isHighSurrogate(c) &&
+        Character.isDigit(text.codePointAt(pos))
+      val digit = Character.isDigit(c) || astralDigit
       val credit = c == 'c' || c == 'C'
       val paren = c == '('
       val emailStart = inEmailClass(c) &&
@@ -138,9 +166,9 @@ object PiiDetector {
           Character.isLetterOrDigit(p) || p == '_'
         }
         val boundary = digit && !prevWordish
-        val d3 = digit && pos + 2 < n &&
+        val d3 = astralDigit || (Character.isDigit(c) && pos + 2 < n &&
           Character.isDigit(text.charAt(pos + 1)) &&
-          Character.isDigit(text.charAt(pos + 2))
+          Character.isDigit(text.charAt(pos + 2)))
         var matched = false
         var pi = 0
         while (pi < compiledEach.length && !matched) {
@@ -168,6 +196,11 @@ object PiiDetector {
       }
       pos += 1
     }
+    // drop the document reference from the reused matchers: reset(text)
+    // otherwise pins the last-scanned string per executor thread for the
+    // thread's lifetime (one pathological multi-MB doc x pool size)
+    i = 0
+    while (i < ms.length) { ms(i).reset(""); i += 1 }
     out.toVector
   }
 

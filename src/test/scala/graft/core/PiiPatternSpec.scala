@@ -191,6 +191,31 @@ class PiiPatternSpec extends AnyFunSuite {
     assert(ms2.nonEmpty && sec2 < 5.0, f"digit scan $sec2%.1f s")
   }
 
+  test("scanFast == scan on astral digits and case-fold email starts " +
+      "(PII-leak regression: the dispatch gate used char-level classes " +
+      "narrower than the regex's Unicode semantics)") {
+    // MATHEMATICAL BOLD digits are \d under UNICODE_CHARACTER_CLASS but
+    // their high surrogate is not an isDigit char — scanFast skipped the
+    // position and the SSN survived scrubbing
+    val boldDigits = new String(Character.toChars(0x1D7CF)) * 3
+    val astralSsn = s"pre $boldDigits-45-6789 post"
+    assert(PiiDetector.scan(astralSsn).nonEmpty, "regex baseline")
+    assert(PiiDetector.scanFast(astralSsn) == PiiDetector.scan(astralSsn))
+    // CASE_INSENSITIVE | UNICODE_CASE folds U+017F (long s), U+212A
+    // (Kelvin), U+0130/U+0131 onto [a-zA-Z]; an email starting with one
+    // was found by scan() but missed by the ASCII-only dispatch table
+    Seq('ſ', 'K', 'İ', 'ı').foreach { ch =>
+      val t = s"contact ${ch}mith@example.com now"
+      assert(PiiDetector.scan(t).exists(_.piiType == PiiType.Email),
+        s"baseline $ch")
+      assert(PiiDetector.scanFast(t) == PiiDetector.scan(t), s"fold $ch")
+    }
+    // and a fold char directly BEFORE an ascii email start suppresses the
+    // start on both sides identically (lookbehind parity)
+    val t2 = "xſabc@example.com y"
+    assert(PiiDetector.scanFast(t2) == PiiDetector.scan(t2))
+  }
+
   test("unicode parity traps: arabic-indic digits, NBSP") {
     // Python \d matches U+0660..9; Java needs UNICODE_CHARACTER_CLASS
     val arabicSsn = "١٢٣-٤٥-٦٧٨٩"

@@ -28,6 +28,9 @@ class QualityModelSpec extends AnyFunSuite {
     assert(LangId.predict(t) == LangId.predict(t))
     assert(LangId.predict("") == (("und", 0.0)))
     assert(LangId.predict(null) == (("und", 0.0)))
+    // blank (not just empty) — whitespace n-grams must not score as a
+    // language with real confidence
+    assert(LangId.predict("   \n\t ") == (("und", 0.0)))
   }
 
   test("perplexity: in-domain text scores far lower than gibberish") {
