@@ -58,7 +58,8 @@ object Bench {
 
   private def stealJiffies: Long =
     try {
-      val first = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val first = try src.getLines().next() finally src.close()
       first.trim.split("\\s+")(8).toLong
     } catch { case _: Throwable => 0L }
 
@@ -70,7 +71,8 @@ object Bench {
     * contention (round-3 verdict ask #2). */
   private def procSelfCpuJiffies: Long =
     try {
-      val stat = scala.io.Source.fromFile("/proc/self/stat").mkString
+      val src = scala.io.Source.fromFile("/proc/self/stat")
+      val stat = try src.mkString finally src.close()
       // comm (field 2) may contain spaces — split after the closing ')'
       val rest = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
       rest(11).toLong + rest(12).toLong // utime + stime (fields 14, 15)
@@ -94,11 +96,27 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the output line is consumed by json.load — a comma-decimal default
+    // locale (de_DE etc.) would render f"%.3f" as 0,848 and invalidate
+    // the whole round's bench JSON
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
-    // 1. materialize the deterministic pages table once (64 splits)
-    val pagesPath = s"target/bench_pages_$BenchDocs"
+    // 1. materialize the deterministic pages table once (64 splits).
+    // Cache key includes a GENERATOR FINGERPRINT (sample rows hashed), so
+    // a changed PagesSynth invalidates the cache instead of silently
+    // benchmarking last round's materialized input forever.
+    val genSig = {
+      var h = 0x811c9dc5
+      (0L until 8L).foreach { id =>
+        val r = graft.model.PagesSynth.generate(id, validated = false)._2
+        h = h * 31 + r.text.map(_.hashCode).getOrElse(0)
+        h = h * 31 + r.html.map(b => java.util.Arrays.hashCode(b)).getOrElse(0)
+      }
+      (h & 0x7fffffff).toHexString
+    }
+    val pagesPath = s"target/bench_pages_${BenchDocs}_$genSig"
     if (!Files.exists(Paths.get(pagesPath, "_SUCCESS"))) {
       val s = session(cpus)
       s.sparkContext.setLogLevel("WARN")

@@ -191,14 +191,20 @@ object SparkEntry {
       "single morning of the long warm summer season tail variant ', " +
       "cast(doc_id % 4 as string)) else text end"
 
+  /** DuckDB form of nearDupSql's planted base paragraph — ONE copy
+    * shared by the three oracles that rebuild it (a drifted copy would
+    * silently desynchronize the pair sets). */
+  private val nearDupBaseDuck: String =
+    "'the quick brown fox jumps over the lazy dog while the " +
+      "wise old owl watches from the tall oak tree near the quiet river " +
+      "bank every single morning of the long warm summer season tail " +
+      "variant ' || (doc_id % 4)"
+
   /** CTE chain computing the exact-Jaccard >= 0.8 pair set (`jpairs`) in
     * DuckDB — shared by the dedup_minhash_pairs and dedup_clusters
     * oracles. Mirrors the Spark shingle construction exactly. */
   private val exactJaccardPairsCtes: String = {
-    val base = "'the quick brown fox jumps over the lazy dog while the " +
-      "wise old owl watches from the tall oak tree near the quiet river " +
-      "bank every single morning of the long warm summer season tail " +
-      "variant ' || (doc_id % 4)"
+    val base = nearDupBaseDuck
     // \s+ split mirrors the Scala Character.isWhitespace word split (a
     // single-space split would silently diverge on multi-line text)
     s"w AS (SELECT doc_id, " +
@@ -245,7 +251,9 @@ object SparkEntry {
       .map { case (c, i) => (i.toLong, cosLocal(qVec, c.toArray)) }
       .sortBy { case (i, sim) => (-sim, i) }
       .take(nprobe).map(_._1)
-    val q = emb.filter(col("vec_id") === 0).select(col("emb").as("q_emb"))
+    // the query vector is already on the driver — ship it as a literal
+    // instead of a second scan of the embeddings table
+    val q = s.range(1).select(typedLit(qVec.toSeq).as("q_emb"))
     assigned.filter(col("vec_id") =!= 0 &&
         col("cent_id").isin(probes: _*))
       .crossJoin(broadcast(q))
@@ -253,6 +261,34 @@ object SparkEntry {
         round(cosine(col("emb"), col("q_emb")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(topK)
+  }
+
+  /** Shared DuckDB fragments for the heuristics-rule mirrors — ONE copy
+    * of each expression and of the full keep predicate (three queries
+    * previously duplicated them verbatim; a threshold edited in one copy
+    * would silently desynchronize the others). Thresholds mirror
+    * graft.core.Heuristics. */
+  private object DuckHeuristics {
+    val words =
+      "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
+    val wc = s"len($words)"
+    val totalChars = s"len(array_to_string($words, '')) "
+    val symbols = "(len(regexp_extract_all(text, '#')) + " +
+      "len(regexp_extract_all(text, '…')) + " +
+      "len(regexp_extract_all(text, '\\.\\.\\.')))"
+    val alpha = s"len(list_filter($words, w -> regexp_matches(w, '\\p{L}')))"
+    val stop = s"len(list_filter(['the','be','to','of','and','that','have'," +
+      s"'with'], sw -> list_contains(list_transform($words, w -> lower(w)), sw)))"
+    val sent = "len(regexp_extract_all(text, '[.!?。]'))"
+    val lorem =
+      "CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END"
+    val curly = "CASE WHEN contains(text, '{') THEN 1 ELSE 0 END"
+    val keep = s"NOT ($wc < 50 OR $wc > 100000 " +
+      s"OR ($wc > 0 AND ($totalChars * 1.0 / $wc) < 3.0) " +
+      s"OR ($totalChars * 1.0 / $wc) > 10.0 " +
+      s"OR ($symbols * 1.0 / $wc) > 0.1 " +
+      s"OR ($wc > 0 AND ($alpha * 1.0 / $wc) < 0.8) " +
+      s"OR $stop < 2 OR $lorem > 0 OR $curly > 0 OR $sent < 3)"
   }
 
   private def rules(c: Column, lang: Column) = quality_rules(c, lang)
@@ -318,7 +354,10 @@ object SparkEntry {
       .filter(col("n_inter") * lit(10) >= col("n_union") * lit(8)) // J>=0.8
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // lazy val, not def: Bench/Verify access these maps dozens of times and
+  // the entries (closures, expanded oracle SQL incl. the BPE merge chain)
+  // are pure constants
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- S1/S2: source scan + projection + residual validation ----
     "s1_scan_project" -> ((s, dir) =>
       docs(s, dir).filter(col("text").isNotNull)
@@ -889,7 +928,7 @@ object SparkEntry {
     * oracle inputs, not extra query rows. */
   final val AuxDirToken = "__AUXDIR__"
 
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     // keep == expected_keep on EVERY row is exact by construction
     // (validated generation + honest exhaust labels — the PipelineSpec
     // F1 == 1.0 gate); the truth table is dumped by Verify and carries no
@@ -969,12 +1008,7 @@ object SparkEntry {
         "ORDER BY id_a, id_b"),
 
     "quality_score" -> {
-      val words = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
-      val wc = s"len($words)"
-      val alpha = s"len(list_filter($words, w -> regexp_matches(w, '\\p{L}')))"
-      val stop = s"len(list_filter(['the','be','to','of','and','that','have'," +
-        s"'with'], sw -> list_contains(list_transform($words, w -> lower(w)), sw)))"
-      val sent = "len(regexp_extract_all(text, '[.!?。]'))"
+      import DuckHeuristics._
       s"SELECT doc_id, round(" +
         s"least($wc, 200.0) / 200.0 * 0.25 + " +
         s"(CASE WHEN $wc > 0 THEN $alpha * 1.0 / $wc ELSE 0.0 END) * 0.25 + " +
@@ -1050,50 +1084,18 @@ object SparkEntry {
     },
 
     "heuristics_basic" -> {
-      val words = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
-      val wc = s"len($words)"
-      val totalChars = s"len(array_to_string($words, '')) "
-      val symbols = "(len(regexp_extract_all(text, '#')) + " +
-        "len(regexp_extract_all(text, '…')) + " +
-        "len(regexp_extract_all(text, '\\.\\.\\.')))"
-      val alpha = s"len(list_filter($words, w -> regexp_matches(w, '\\p{L}')))"
-      val stop = s"len(list_filter(['the','be','to','of','and','that','have'," +
-        s"'with'], sw -> list_contains(list_transform($words, w -> lower(w)), sw)))"
-      val sent = "len(regexp_extract_all(text, '[.!?。]'))"
-      val lorem = "CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END"
-      val curly = "CASE WHEN contains(text, '{') THEN 1 ELSE 0 END"
+      import DuckHeuristics._
       s"SELECT doc_id, $wc AS word_count, $stop AS stopword_count, " +
         s"$sent AS sentences, CAST($lorem AS BIGINT) AS has_lorem, " +
         s"CAST($curly AS BIGINT) AS has_curly, " +
-        s"NOT ($wc < 50 OR $wc > 100000 " +
-        s"OR ($wc > 0 AND ($totalChars * 1.0 / $wc) < 3.0) " +
-        s"OR ($totalChars * 1.0 / $wc) > 10.0 " +
-        s"OR ($symbols * 1.0 / $wc) > 0.1 " +
-        s"OR ($wc > 0 AND ($alpha * 1.0 / $wc) < 0.8) " +
-        s"OR $stop < 2 OR $lorem > 0 OR $curly > 0 OR $sent < 3) AS keep_basic " +
+        s"$keep AS keep_basic " +
         s"FROM documents ORDER BY doc_id"
     },
 
     "keep_stats" -> {
-      val words = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
-      val wc = s"len($words)"
-      val totalChars = s"len(array_to_string($words, '')) "
-      val symbols = "(len(regexp_extract_all(text, '#')) + " +
-        "len(regexp_extract_all(text, '…')) + " +
-        "len(regexp_extract_all(text, '\\.\\.\\.')))"
-      val alpha = s"len(list_filter($words, w -> regexp_matches(w, '\\p{L}')))"
-      val stop = s"len(list_filter(['the','be','to','of','and','that','have'," +
-        s"'with'], sw -> list_contains(list_transform($words, w -> lower(w)), sw)))"
-      val sent = "len(regexp_extract_all(text, '[.!?。]'))"
-      val lorem = "CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END"
-      val curly = "CASE WHEN contains(text, '{') THEN 1 ELSE 0 END"
+      import DuckHeuristics._
       s"SELECT lang, count(*) AS n_docs, " +
-        s"CAST(sum(CASE WHEN NOT ($wc < 50 OR $wc > 100000 " +
-        s"OR ($wc > 0 AND ($totalChars * 1.0 / $wc) < 3.0) " +
-        s"OR ($totalChars * 1.0 / $wc) > 10.0 " +
-        s"OR ($symbols * 1.0 / $wc) > 0.1 " +
-        s"OR ($wc > 0 AND ($alpha * 1.0 / $wc) < 0.8) " +
-        s"OR $stop < 2 OR $lorem > 0 OR $curly > 0 OR $sent < 3) " +
+        s"CAST(sum(CASE WHEN $keep " +
         s"THEN 1 ELSE 0 END) AS BIGINT) AS n_keep " +
         s"FROM documents GROUP BY lang ORDER BY lang"
     },
@@ -1240,10 +1242,7 @@ object SparkEntry {
         "ORDER BY cosine DESC, vec_id LIMIT 10"),
 
     "dedup_ngram_jaccard" -> {
-      val base = "'the quick brown fox jumps over the lazy dog while the " +
-        "wise old owl watches from the tall oak tree near the quiet river " +
-        "bank every single morning of the long warm summer season tail " +
-        "variant ' || (doc_id % 4)"
+      val base = nearDupBaseDuck
       s"WITH w AS (SELECT doc_id, " +
         s"list_transform(list_filter(regexp_split_to_array(" +
         s"CASE WHEN doc_id % 25 = 0 THEN $base ELSE text END, '\\s+'), " +

@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // all number formatting locale-pinned: a comma-decimal default locale
+    // would corrupt any f""-built output downstream
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,7 +24,23 @@ object Verify {
     // table (labels exact by construction) and the trained IVF codebook.
     // Absolute path baked into the SQL so the driver's DuckDB cwd is
     // irrelevant.
-    val auxDir = new java.io.File("target/verify_aux").getAbsolutePath
+    // aux dir keyed BY SF DIR: a shared global path would let a later
+    // Verify run (other scale factor) clobber the aux inputs an earlier
+    // run's oracle_sql.json points at — truth-table row counts and the
+    // codebook would silently mismatch. Stale aux dumps are also deleted
+    // FIRST, same invariant as the query dumps below: a failed dump must
+    // surface as a MISSING oracle input, never as last run's data.
+    val auxKey = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val auxDir = new java.io.File(s"target/verify_aux/$auxKey").getAbsolutePath
+    Seq("pipeline_truth", "ivf_centroids").foreach { sub =>
+      val d = Paths.get(auxDir, sub)
+      if (Files.exists(d)) {
+        import scala.jdk.CollectionConverters._
+        val s = Files.walk(d)
+        val all = try s.iterator().asScala.toSeq finally s.close()
+        all.reverse.foreach(Files.deleteIfExists(_))
+      }
+    }
     try graft.model.PagesSynth.truthTable(spark, SparkEntry.synthN(sfDir), 16)
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/pipeline_truth")
     catch {
@@ -58,8 +77,9 @@ object Verify {
       val dest = Paths.get(s"$outDir/$name")
       if (Files.exists(dest)) {
         import scala.jdk.CollectionConverters._
-        Files.walk(dest).iterator().asScala.toSeq.reverse
-          .foreach(Files.deleteIfExists(_))
+        val s = Files.walk(dest)
+        val all = try s.iterator().asScala.toSeq finally s.close()
+        all.reverse.foreach(Files.deleteIfExists(_))
       }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(dest.toString)
