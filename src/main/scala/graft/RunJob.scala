@@ -129,15 +129,29 @@ object RunJob {
       .findSnapshotWithMeta(tableRoot(args), "run_id", args.runId)
     if (Files.exists(marker) || recorded.isDefined) {
       // already committed by a previous attempt — resume is a no-op;
-      // report this run's contributed rows from its snapshot record
-      val v = recorded.getOrElse(
-        IcebergStyleTable.currentVersion(tableRoot(args)))
-      if (!Files.exists(marker)) // heal the lost marker for future reruns
+      // report this run's contributed rows from its snapshot record. The
+      // version must be ATTRIBUTABLE to this run: the snapshot's stamped
+      // run_id, or the version recorded in this run's own marker. Falling
+      // back to currentVersion would attribute a LATER run's snapshot
+      // (and its added_rows) to this run if other runs committed since.
+      val markerVersion: Option[Int] =
+        if (Files.exists(marker)) {
+          val txt = new String(Files.readAllBytes(marker),
+            StandardCharsets.UTF_8)
+          """"snapshot_version"\s*:\s*(\d+)""".r
+            .findFirstMatchIn(txt).map(_.group(1).toInt)
+        } else None
+      val v = recorded.orElse(markerVersion)
+      if (!Files.exists(marker) && v.isDefined) // heal lost marker
         Files.write(marker,
-          s"""{"run_id":"${args.runId}","snapshot_version":$v,"rows":${IcebergStyleTable.snapshotAddedRows(tableRoot(args), v)}}"""
+          s"""{"run_id":"${args.runId}","snapshot_version":${v.get},"rows":${IcebergStyleTable.snapshotAddedRows(tableRoot(args), v.get)}}"""
             .getBytes(StandardCharsets.UTF_8))
+      // unattributable (marker unparseable AND no stamped snapshot —
+      // cannot happen through this code's own write order, which stamps
+      // the snapshot first): report rows as 0 rather than guessing
       JobResult(results, IcebergStyleTable.currentVersion(tableRoot(args)),
-        IcebergStyleTable.snapshotAddedRows(tableRoot(args), v),
+        v.map(IcebergStyleTable.snapshotAddedRows(tableRoot(args), _))
+          .getOrElse(0L),
         committedThisRun = false)
     } else {
       val out = CheckpointedRun.output(spark, workRoot(args), args.runId)

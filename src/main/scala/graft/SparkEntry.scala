@@ -389,7 +389,11 @@ object SparkEntry {
     "html_entities" -> ((s, dir) => {
       val d = docs(s, dir).withColumn("h",
         expr("concat('<p>a&#', cast(65 + doc_id % 26 as string), " +
-          "';b&#x27;c&mdash;d&hellip;e&#1114200;f&bogus;g</p>')"))
+          "';b&#x27;c&mdash;d&hellip;e&#1114200;f&bogus;g" +
+          // round-5 vectors: HTML4 accented/Greek/arrow names (case-
+          // sensitive pair &eacute;/&Eacute;) + an overlong 9-digit
+          // numeric ref (out-of-range → space, never raw/throw)
+          "&agrave;h&Eacute;i&eacute;j&alpha;k&rarr;l&#123456789;m</p>')"))
       d.select(col("doc_id"), html_text(col("h")).as("extracted"))
         .orderBy("doc_id")
     }),
@@ -1028,11 +1032,11 @@ object SparkEntry {
 
     // expected extraction rebuilt literally: block <p> → newline, closing
     // tag → trailing space, entities decoded (chr(39) = the hex-ref
-    // apostrophe; — and … literal UTF-8; out-of-range numeric → space;
-    // unknown &bogus; passes through raw)
+    // apostrophe; — … à É é α → literal UTF-8; out-of-range AND overlong
+    // numeric → space; unknown &bogus; passes through raw)
     "html_entities" ->
       ("SELECT doc_id, chr(10) || 'a' || chr(65 + CAST(doc_id % 26 AS INT)) " +
-        "|| 'b' || chr(39) || 'c—d…e f&bogus;g ' AS extracted " +
+        "|| 'b' || chr(39) || 'c—d…e f&bogus;gàhÉiéjαk→l m ' AS extracted " +
         "FROM documents ORDER BY doc_id"),
 
     "g1_tokenize_stats" ->

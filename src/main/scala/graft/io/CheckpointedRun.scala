@@ -95,10 +95,16 @@ object CheckpointedRun {
 
     // fully-completed rerun: skip staging entirely — the staged copy is
     // deleted after completion (below), and rebuilding it just to skip
-    // every partition would be a full input copy for nothing
-    if (done.size >= numPartitions)
+    // every partition would be a full input copy for nothing. Still
+    // attempt the staged-dir reclamation: a kill DURING the end-of-run
+    // cleanup leaves a partial _staged/run=<id> orphan that only this
+    // path would ever see again (the rerun returns here before reaching
+    // the post-loop cleanup).
+    if (done.size >= numPartitions) {
+      if (prebucketed.isEmpty) reclaimStaged(root, runId)
       return (0 until numPartitions)
         .map(k => PartitionResult(k, -1, skipped = true))
+    }
 
     val staged = prebucketed match {
       case Some(path) =>
@@ -150,7 +156,17 @@ object CheckpointedRun {
         val step = (bucketDirs.size + 63) / 64
         val sampled = bucketDirs.indices.collect {
           case idx if idx % math.max(1, step) == 0 => bucketDirs(idx)
-        }.take(64)
+        }.take(64).filter { case (_, dir) =>
+          // a bucket dir holding no parquet (only _SUCCESS, or empty —
+          // a legitimately row-less bucket) has nothing to verify; a
+          // direct read would throw schema-inference AnalysisException
+          // and fail the whole run
+          val ds3 = Files.list(Paths.get(dir))
+          try ds3.iterator().asScala.exists { f =>
+            val n = f.getFileName.toString
+            n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+          } finally ds3.close()
+        }
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(8, math.max(1, sampled.size)))
         try {
@@ -262,29 +278,38 @@ object CheckpointedRun {
     // (at the 100 TB design point, a 100 TB orphan per run id). Only the
     // run's OWN staged dir is touched; prebucketed inputs belong to the
     // caller. A rerun after this cleanup takes the all-skipped early
-    // return above and never re-reads the staged path.
-    if (prebucketed.isEmpty) {
-      val stagedPath = Paths.get(root, "_staged", s"run=$runId")
-      if (Files.exists(stagedPath)) {
-        val s = Files.walk(stagedPath)
-        val all = try s.iterator().asScala.toSeq finally s.close()
-        all.reverse.foreach(Files.deleteIfExists(_))
-      }
-    }
+    // return above (which retries this reclamation, healing a kill that
+    // landed mid-deletion) and never re-reads the staged path.
+    if (prebucketed.isEmpty) reclaimStaged(root, runId)
     results
+  }
+
+  private def reclaimStaged(root: String, runId: String): Unit = {
+    val stagedPath = Paths.get(root, "_staged", s"run=$runId")
+    if (Files.exists(stagedPath)) {
+      val s = Files.walk(stagedPath)
+      val all = try s.iterator().asScala.toSeq finally s.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
   }
 
   /** Read the final output of a (possibly resumed) run. */
   def output(spark: SparkSession, root: String, runId: String): DataFrame =
     spark.read.parquet(Paths.get(root, s"run=$runId").toString + "/partition=*")
 
-  /** The metrics manifests as a queryable DataFrame (metrics table, O4). */
+  /** The metrics manifests as a queryable DataFrame (metrics table, O4).
+    * Only `partition=<k>.json` manifests qualify — the progress dir also
+    * holds RunJob's `_committed.json` commit marker, whose different
+    * schema would union in a spurious mostly-null row. */
   def metricsTable(spark: SparkSession, root: String, runId: String): DataFrame = {
     val d = progressDir(root, runId)
     val s = Files.list(d)
     val files =
       try s.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".json"))
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("partition=") && n.endsWith(".json")
+        }
         .map(_.toString).toSeq
       finally s.close()
     spark.read.json(files: _*)

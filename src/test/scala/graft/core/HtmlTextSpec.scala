@@ -100,6 +100,38 @@ class HtmlTextSpec extends AnyFunSuite {
       .contains("a b c d"))
   }
 
+  test("table-driven: every HTML4 named entity decodes to its code point " +
+      "(nbsp normalizing to a plain space), both bare and numeric forms " +
+      "agreeing") {
+    HtmlText.namedEntityTable.foreach { case (name, cp) =>
+      val expected =
+        if (cp == 160) "x y" else "x" + new String(Character.toChars(cp)) + "y"
+      val named = HtmlText.extract(s"x&$name;y")
+      assert(named == expected,
+        s"&$name; decoded to ${named.map(_.toInt.toHexString)}")
+      // the numeric spelling of the same code point must agree (except the
+      // markup-significant five, whose numeric forms are also decoded —
+      // still equal — and control-range points, which the table has none of)
+      val numeric = HtmlText.extract(s"x&#$cp;y")
+      assert(numeric == expected, s"&#$cp; vs &$name; disagree")
+    }
+    // case-sensitivity: the capitalized and lowercase names are distinct
+    assert(HtmlText.extract("&eacute;") == "é")
+    assert(HtmlText.extract("&Eacute;") == "É")
+    assert(HtmlText.extract("&EACUTE;") == "&EACUTE;") // unknown → raw
+  }
+
+  test("overlong numeric references: all-digit bodies up to 24 chars " +
+      "terminate at ';' and degrade to a space (out-of-range contract); " +
+      "leading-zero refs still decode; 25+-digit runs pass through raw") {
+    assert(HtmlText.extract("a&#123456789;b") == "a b")
+    assert(HtmlText.extract("a&#999999999999999999999;b") == "a b")
+    assert(HtmlText.extract("a&#x00000041;b") == "aAb") // 8 hex digits, valid
+    assert(HtmlText.extract("a&#000000000065;b") == "aAb") // 12 digits, valid
+    val tooLong = "a&#" + "9" * 25 + ";b"
+    assert(HtmlText.extract(tooLong) == tooLong) // not entity-shaped → raw
+  }
+
   test("unknown entity-shaped names and non-entity '&...;' prose pass " +
       "through RAW — ampersand prose is never silently deleted") {
     assert(HtmlText.extract("<p>a&unknown;b</p>").contains("a&unknown;b"))
