@@ -316,6 +316,24 @@ object Bench {
       s.stop()
     }
 
+    // Degraded-window detector for the 8→32 pair (mechanical, not
+    // narrative): the collapse mode measured in round 4 — all-core
+    // memory-bandwidth/frequency contention on the shared VM — inflates
+    // CPU-seconds at the top level while GC stays flat and steal near
+    // zero, so it evades the steal filter. A cycle doing EQUAL work whose
+    // cpu_eff(8→32) < 0.75 is flagged degraded; the wall-efficiency
+    // median over the remaining (undisturbed) cycles is reported
+    // alongside the all-clean-cycles median, separating host physics
+    // from engine scaling by measurement.
+    val cpuEffDegradedThreshold = 0.75
+    val used832Undisturbed =
+      used.filter(cpuEffCycle(_, 8, 32) >= cpuEffDegradedThreshold)
+    val n832Degraded = used.size - used832Undisturbed.size
+    val eff832Undisturbed =
+      if (used832Undisturbed.nonEmpty)
+        median(plausible(used832Undisturbed.map(effCycle(_, 8, 32))))
+      else 0.0
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val dps = (levels.map(l =>
@@ -340,12 +358,23 @@ object Bench {
       levels.map(l =>
         f""""gc_sec_local$l":${median(used.map(cycleGc(l)(_) / 1e3))}%.2f"""))
       .mkString(",")
-    val line =
-      f"""{"metric":"pipeline_e2e_local32","value":${times(32)}%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_docs":$BenchDocs,$dps,$cpuJson,"scaling_efficiency_4_to_16":${median(eff416)}%.3f,"scaling_efficiency_8_to_32":${median(eff832)}%.3f,"eff_4_to_16_cycles":${arr(eff416All)},"eff_8_to_32_cycles":${arr(eff832All)},"bench_cycles":$cyclesRun,"cycles_used":${used.size},"steal_jiffies_cycles":${cycleSteal.mkString("[", ",", "]")},"steal_reject_threshold":$stealRejectThreshold,"steal_jiffies_local16_clean":${stealClean(16)},"steal_jiffies_local32_clean":${stealClean(32)},"steal_jiffies_local16_all":${stealAll(16)},"steal_jiffies_local32_all":${stealAll(32)}}"""
-    // stdout (bare — build.sbt sets StdoutOutput so sbt adds no prefix)
-    // plus a file copy in case any wrapper still decorates stdout
-    println(line)
+    // DETAIL line: the 36 per-query timings, per-cycle arrays, CPU/GC/
+    // steal decomposition. Round-4 lesson: this line outgrew the driver's
+    // 2000-char tail capture and the round's machine-readable bench
+    // signal was lost ("parsed": null) — so the detail goes to a FILE
+    // (committed under BENCH/) and to stdout only as the SECOND-TO-LAST
+    // line, while the final stdout line is a compact headline that fits
+    // the tail capture with room to spare.
+    val detail =
+      f"""{"metric":"pipeline_e2e_local32","value":${times(32)}%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_docs":$BenchDocs,$dps,$cpuJson,"scaling_efficiency_4_to_16":${median(eff416)}%.3f,"scaling_efficiency_8_to_32":${median(eff832)}%.3f,"eff_8_to_32_undisturbed":$eff832Undisturbed%.3f,"n_cycles_8_to_32_degraded":$n832Degraded,"eff_4_to_16_cycles":${arr(eff416All)},"eff_8_to_32_cycles":${arr(eff832All)},"bench_cycles":$cyclesRun,"cycles_used":${used.size},"steal_jiffies_cycles":${cycleSteal.mkString("[", ",", "]")},"steal_reject_threshold":$stealRejectThreshold,"steal_jiffies_local16_clean":${stealClean(16)},"steal_jiffies_local32_clean":${stealClean(32)},"steal_jiffies_local16_all":${stealAll(16)},"steal_jiffies_local32_all":${stealAll(32)}}"""
+    val headline =
+      f"""{"metric":"pipeline_e2e_local32","value":${times(32)}%.3f,"unit":"sec","sf":"$sfDir","n_docs":$BenchDocs,$dps,"cpu_eff_4_to_16":${median(cpuEff416)}%.3f,"cpu_eff_8_to_32":${median(cpuEff832)}%.3f,"scaling_efficiency_4_to_16":${median(eff416)}%.3f,"scaling_efficiency_8_to_32":${median(eff832)}%.3f,"eff_8_to_32_undisturbed":$eff832Undisturbed%.3f,"n_cycles_8_to_32_degraded":$n832Degraded,"bench_cycles":$cyclesRun,"cycles_used":${used.size},"detail":"BENCH/last_run.json"}"""
+    // stdout (bare — build.sbt sets StdoutOutput so sbt adds no prefix):
+    // detail first, compact headline LAST so a bounded tail capture
+    // always ends with one complete parseable JSON line
+    println(detail)
+    println(headline)
     Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get("BENCH/last_run.json"), line + "\n")
+    Files.writeString(Paths.get("BENCH/last_run.json"), detail + "\n")
   }
 }
