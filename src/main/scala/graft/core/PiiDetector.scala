@@ -100,6 +100,73 @@ object PiiDetector {
   @inline private def inEmailClass(c: Char): Boolean =
     if (c < 128) emailLocalClass(c) else emailExtraChars.get(c)
 
+  /** Exact fold-class of a single pattern char under this scanner's flags,
+    * derived from the COMPILED pattern (same construction as
+    * [[emailExtraChars]]): hand-listing case pairs is how the round-4
+    * Unicode-parity leaks happened ('i' folds with U+0130/U+0131, 'k'
+    * with U+212A — sets a hand table misses). */
+  private def foldClass(ch: Char): java.util.BitSet = {
+    val p = Pattern.compile(Pattern.quote(ch.toString), flags)
+    val bs = new java.util.BitSet(0x10000)
+    var c = 0
+    while (c < 0x10000) {
+      val cc = c.toChar
+      if (!Character.isSurrogate(cc) &&
+          p.matcher(String.valueOf(cc)).matches()) bs.set(c)
+      c += 1
+    }
+    bs
+  }
+  /** 2nd/3rd chars of the credit-literal patterns ("cRedit...") — gates
+    * the two credit regexes down from every 'c' in prose to ~"cre". */
+  private val creditFoldR = foldClass('r')
+  private val creditFoldE = foldClass('e')
+
+  /** Chars that can follow the leading digit group of the phone pattern
+    * (`\)?[-.\s]?` — ')' or a separator), derived from the COMPILED class
+    * so `\s` has the regex's own UNICODE_CHARACTER_CLASS extension (NBSP
+    * etc.), not Character.isWhitespace's. */
+  private val phoneSepSet: java.util.BitSet = {
+    val p = Pattern.compile("""[-.\s)]""", flags)
+    val bs = new java.util.BitSet(0x10000)
+    var c = 0
+    while (c < 0x10000) {
+      val cc = c.toChar
+      if (!Character.isSurrogate(cc) &&
+          p.matcher(String.valueOf(cc)).matches()) bs.set(c)
+      c += 1
+    }
+    bs
+  }
+
+  // ---- fused per-char candidate flags (one 64 KiB table, one load per
+  // character in the scan loop — replaces the previous chain of
+  // Character.* calls and class lookups per position) ----
+  private final val FDigit = 1 // Character.isDigit (BMP \d under UCC)
+  private final val FCredit = 2 // 'c' | 'C'
+  private final val FParen = 4 // '('
+  private final val FEmail = 8 // email local-part class (fold-exact)
+  private final val FWordish = 16 // isLetterOrDigit || '_' (subset of \w)
+  private final val FHiSurr = 32 // high surrogate (possible astral digit)
+
+  private val charFlags: Array[Byte] = {
+    val t = new Array[Byte](0x10000)
+    var c = 0
+    while (c < 0x10000) {
+      val ch = c.toChar
+      var f = 0
+      if (Character.isDigit(ch)) f |= FDigit
+      if (ch == 'c' || ch == 'C') f |= FCredit
+      if (ch == '(') f |= FParen
+      if (inEmailClass(ch)) f |= FEmail
+      if (Character.isLetterOrDigit(ch) || ch == '_') f |= FWordish
+      if (Character.isHighSurrogate(ch)) f |= FHiSurr
+      t(c) = f.toByte
+      c += 1
+    }
+    t
+  }
+
   /** First-char-dispatch scanner — semantically identical to [[scan]]
     * (differential-tested), ~2-3x faster on webtext.
     *
@@ -131,76 +198,132 @@ object PiiDetector {
     if (n == 0) return Vector.empty
     val out = new ArrayBuffer[PiiMatch]()
     val ms = matchersTL.get()
-    var i = 0
-    while (i < ms.length) {
-      ms(i).reset(text)
-      i += 1
-    }
+    val flagsT = charFlags
+    // lazy matcher binding: a matcher is reset onto this document only
+    // right before its first real attempt (boundMask bit per pattern) —
+    // a candidate-free document pays ZERO matcher resets
+    var boundMask = 0
     var pos = 0
+    var prevF = 0 // flags of the previous char (0 at doc start)
     while (pos < n) {
       val c = text.charAt(pos)
-      // astral decimal digits (e.g. MATHEMATICAL BOLD DIGITS, U+1D7CE+)
-      // ARE \d under UNICODE_CHARACTER_CLASS: the high surrogate alone is
-      // not a digit char, so a char-level gate skipped positions where
-      // the regex matches — unscrubbed PII. For astral digits the cheap
-      // next-two-digits pruning is skipped and the regex settles it.
-      val astralDigit = Character.isHighSurrogate(c) &&
-        Character.isDigit(text.codePointAt(pos))
-      val digit = Character.isDigit(c) || astralDigit
-      val credit = c == 'c' || c == 'C'
-      val paren = c == '('
-      val emailStart = inEmailClass(c) &&
-        (pos == 0 || !inEmailClass(text.charAt(pos - 1)))
-      if (digit || credit || paren || emailStart) {
-        // Sound pruning (necessary conditions only — a pattern is never
-        // skipped where it could match):
-        //  - \b-led patterns (routing/account/card/ipv4) need a word
-        //    boundary at pos; prev being a letter/digit/'_' (a strict
-        //    subset of regex \w under UNICODE_CHARACTER_CLASS) proves
-        //    there is none. Other \w chars (marks, join controls) still
-        //    fall through to the regex, which settles it exactly.
-        //  - digit-led \d{3}-prefixed patterns (ssn/routing/account/card/
-        //    phone-from-digit) need digits at pos+1 and pos+2.
-        val prevWordish = digit && pos > 0 && {
-          val p = text.charAt(pos - 1)
-          Character.isLetterOrDigit(p) || p == '_'
+      val f: Int = flagsT(c)
+      // Candidate gate: one table load per character. A document with no
+      // digits, no '(', no "cre"-shaped literal and no email-run starts —
+      // most clean webtext — degenerates this whole scan to two array
+      // loads and one branch per char (the doc-level pre-scan gate, fused
+      // into the same pass instead of a separate one).
+      val emailStart = (f & FEmail) != 0 && (prevF & FEmail) == 0
+      var matched = false
+      if ((f & (FDigit | FCredit | FParen | FHiSurr)) != 0 || emailStart) {
+        // astral decimal digits (e.g. MATHEMATICAL BOLD DIGITS, U+1D7CE+)
+        // ARE \d under UNICODE_CHARACTER_CLASS: the high surrogate alone
+        // is not a digit char, so a char-level gate skipped positions
+        // where the regex matches — unscrubbed PII. For astral digits the
+        // cheap run prechecks are skipped and the regex settles it.
+        val astralDigit = (f & FHiSurr) != 0 &&
+          Character.isDigit(text.codePointAt(pos))
+        val digit = (f & FDigit) != 0 || astralDigit
+        val credit = (f & FCredit) != 0 && pos + 2 < n &&
+          creditFoldR.get(text.charAt(pos + 1)) &&
+          creditFoldE.get(text.charAt(pos + 2))
+        val paren = (f & FParen) != 0
+        // Email viability: the pattern is [class]+@... and '@' is not in
+        // the class, so a match starting here REQUIRES the char right
+        // after this email-class run to be '@' (any shorter split lands
+        // on an in-class char). One table-walk over the run — which has
+        // exactly one run start, so this stays linear — replaces a regex
+        // attempt per word, the single largest cost on clean prose.
+        val emailViable = emailStart && {
+          var j = pos + 1
+          while (j < n && (flagsT(text.charAt(j)) & FEmail) != 0) j += 1
+          j < n && text.charAt(j) == '@'
         }
-        val boundary = digit && !prevWordish
-        val d3 = astralDigit || (Character.isDigit(c) && pos + 2 < n &&
-          Character.isDigit(text.charAt(pos + 1)) &&
-          Character.isDigit(text.charAt(pos + 2)))
-        var matched = false
-        var pi = 0
-        while (pi < compiledEach.length && !matched) {
-          val applies = (pi: @unchecked) match {
-            case 0 => d3                       // ssn (\d{3}-...)
-            case 1 | 2 => boundary && d3       // routing (9), account (10+)
-            case 3 | 4 => credit               // credit score / rating
-            case 5 => boundary && d3           // card (\d{4}...)
-            case 6 => (digit && d3) || paren   // phone (\(?\d{3}...)
-            case 7 => emailStart               // email (lookbehind-gated)
-            case 8 => boundary                 // ipv4 (can be 1 digit)
+        if (digit || credit || paren || emailViable) {
+          // Sound pruning (necessary conditions only — a pattern is never
+          // skipped where it could match):
+          //  - \b-led patterns (routing/account/card/ipv4) need a word
+          //    boundary at pos; prev being a letter/digit/'_' (a strict
+          //    subset of regex \w under UNICODE_CHARACTER_CLASS) proves
+          //    there is none. Other \w chars (marks, join controls) still
+          //    fall through to the regex, which settles it exactly.
+          //  - the BMP digit-run length at pos decides which digit-led
+          //    patterns are even shaped right (ssn needs exactly 3 then
+          //    '-', routing exactly 9, account 10-17, card >= 4, ipv4
+          //    <= 3 then '.'). The run metrics are EXACT only while the
+          //    run stays in the BMP: an astral-digit start, or a high
+          //    surrogate inside/terminating the run, disables the
+          //    prechecks (conservative — the regex decides), closing the
+          //    round-4-era gap where an ASCII digit followed by astral
+          //    digits defeated the next-two-digits gate and leaked PII
+          //    past the dispatch scanner.
+          val boundary = digit && (prevF & FWordish) == 0
+          var runLen = 0
+          var runUnsafe = astralDigit
+          if (digit && !astralDigit) {
+            var j = pos
+            val cap = math.min(n, pos + 19) // saturating: 19 = ">18"
+            while (j < cap && (flagsT(text.charAt(j)) & FDigit) != 0) j += 1
+            runLen = j - pos
+            runUnsafe = j < n && (flagsT(text.charAt(j)) & FHiSurr) != 0
           }
-          if (applies) {
-            val m = ms(pi)
-            m.region(pos, n)
-            if (m.lookingAt()) {
-              out += PiiMatch(m.group(), m.start(), m.end(),
-                PiiType.ordered(pi))
-              pos = m.end() - 1 // -1: compensated by the +1 below
-              matched = true
+          val exact = digit && !astralDigit && !runUnsafe && runLen < 19
+          val d3 = astralDigit || runUnsafe || runLen >= 3
+          var pi = 0
+          while (pi < compiledEach.length && !matched) {
+            val applies = (pi: @unchecked) match {
+              case 0 => d3 && (!exact || (runLen == 3 && // ssn (\d{3}-...)
+                pos + 3 < n && text.charAt(pos + 3) == '-'))
+              case 1 => boundary && d3 && // routing (\b\d{9}\b)
+                (!exact || runLen == 9)
+              case 2 => boundary && d3 && // account (\b\d{10,17}\b)
+                (!exact || (runLen >= 10 && runLen <= 17))
+              case 3 | 4 => credit // credit score / rating
+              case 5 => boundary && d3 && // card ((?:\d{4}[ -]?){3}\d{4})
+                (!exact || runLen >= 4)
+              case 6 => paren || (digit && d3 && // phone (\(?\d{3}...)
+                // after the leading digit run: a bare 10+ run matches
+                // outright; shorter runs need ')' or a separator right at
+                // the run end (the groups' positions are forced, so a
+                // non-sep terminator on a sub-10 run can never match)
+                (!exact || runLen >= 10 || (pos + runLen < n &&
+                  phoneSepSet.get(text.charAt(pos + runLen)))))
+              case 7 => emailViable // email (lookbehind + '@'-gated)
+              case 8 => boundary && // ipv4 (\b\d{1,3}\....)
+                (!exact || (runLen <= 3 && pos + runLen < n &&
+                  text.charAt(pos + runLen) == '.'))
             }
+            if (applies) {
+              val m = ms(pi)
+              if ((boundMask & (1 << pi)) == 0) {
+                m.reset(text)
+                boundMask |= 1 << pi
+              }
+              m.region(pos, n)
+              if (m.lookingAt()) {
+                out += PiiMatch(m.group(), m.start(), m.end(),
+                  PiiType.ordered(pi))
+                pos = m.end()
+                matched = true
+              }
+            }
+            pi += 1
           }
-          pi += 1
         }
       }
-      pos += 1
+      if (matched) prevF = flagsT(text.charAt(pos - 1))
+      else { prevF = f; pos += 1 }
     }
-    // drop the document reference from the reused matchers: reset(text)
-    // otherwise pins the last-scanned string per executor thread for the
-    // thread's lifetime (one pathological multi-MB doc x pool size)
-    i = 0
-    while (i < ms.length) { ms(i).reset(""); i += 1 }
+    // drop the document reference from the matchers that were bound:
+    // reset(text) otherwise pins the last-scanned string per executor
+    // thread for the thread's lifetime (one pathological multi-MB doc x
+    // pool size)
+    var i = 0
+    while (boundMask != 0) {
+      if ((boundMask & 1) != 0) ms(i).reset("")
+      boundMask >>>= 1
+      i += 1
+    }
     out.toVector
   }
 

@@ -63,7 +63,13 @@ object CoreProps extends Properties("graft.core") {
       "credit", "creditscore:750", "score:", "cred", "C", "(", "(((",
       "xcredit report: bad", "ab123-45-6789cd", "zz@", "@zz", "١٢٣-٤٥-٦٧٨٩",
       "credit score: 812", "1234567890@example.com", ".b@c.de",
-      "-a@b.io", "12.34", "...", "#tag"),
+      "-a@b.io", "12.34", "...", "#tag",
+      // round-5 dispatch-rewrite shapes: astral-digit mixes, run-length
+      // precheck boundaries, credit-literal fold traps
+      "1𝟐𝟑-45-6789", "12𝟑4567",
+      "123456789012345678", "12345678901234567", "9999999999999999999",
+      "1.2.3.4", "12.34.56.78", "credıt score: 750",
+      "cRedit report: poor", "cre", "crab 9"),
     Gen.alphaNumStr, Gen.const(" "), Gen.const("\n"),
     Gen.const(""))).map(_.mkString(" "))
 

@@ -216,6 +216,39 @@ class PiiPatternSpec extends AnyFunSuite {
     assert(PiiDetector.scanFast(t2) == PiiDetector.scan(t2))
   }
 
+  test("digit-run prechecks are sound at every boundary length and under " +
+      "BMP/astral mixes (round-5 dispatch-table rewrite)") {
+    // run lengths straddling every precheck boundary: 3 (ssn/ipv4), 4
+    // (card), 8/9/10 (routing/account), 17/18/19+ (account upper edge,
+    // saturation) — equality with the combined scan is the contract
+    val runs = Seq(3, 4, 8, 9, 10, 16, 17, 18, 19, 25)
+    runs.foreach { len =>
+      Seq(s"x ${"9" * len} y", s"${"9" * len}", s"a${"9" * len}b",
+        s"x ${"1" * len}.2.3.4 y").foreach { t =>
+        assert(PiiDetector.scanFast(t) == PiiDetector.scan(t), s"run $len: $t")
+      }
+    }
+    // an ASCII digit followed by ASTRAL digits defeated the old
+    // next-two-digits gate: the high surrogate is not an isDigit char, so
+    // d3 was false and the SSN was skipped — regex matches it (\d is Nd
+    // including astral under UNICODE_CHARACTER_CLASS)
+    val bold2 = new String(Character.toChars(0x1D7D0))
+    val bold3 = new String(Character.toChars(0x1D7D1))
+    val mixedSsn = s"pre 1$bold2$bold3-45-6789 post"
+    assert(PiiDetector.scan(mixedSsn).exists(_.piiType == PiiType.Ssn),
+      "regex baseline must match the mixed-astral SSN")
+    assert(PiiDetector.scanFast(mixedSsn) == PiiDetector.scan(mixedSsn))
+    // astral digit mid-run right after the start
+    val mixed2 = s"x 12$bold3-45-6789 12${bold3}4567 y"
+    assert(PiiDetector.scanFast(mixed2) == PiiDetector.scan(mixed2))
+    // credit-literal fold gate: dotted/dotless i fold onto 'i', 'R' onto
+    // 'r' — the 2nd/3rd-char gate is derived from the compiled pattern
+    Seq("credıt score: 750", "cRedit report: gOOd", "crEdit score: 600",
+      "credit card xx", "crisp bacon", "acre of land").foreach { t =>
+      assert(PiiDetector.scanFast(t) == PiiDetector.scan(t), t)
+    }
+  }
+
   test("unicode parity traps: arabic-indic digits, NBSP") {
     // Python \d matches U+0660..9; Java needs UNICODE_CHARACTER_CLASS
     val arabicSsn = "١٢٣-٤٥-٦٧٨٩"
