@@ -58,13 +58,32 @@ object SparkEntry {
   private def cosLocal(x: Array[Double], y: Array[Double]): Double =
     graft.core.VecMath.cosine(x, y)
 
+  /** Auto-sized IVF cell count for a table of `rows` vectors — the
+    * standard k ~ sqrt(N) sizing, clamped to [8, 4096]. Callers pass
+    * k = 0 to [[ivfCentroids]]/[[ivfTopK]] to engage it (the verify-scale
+    * exhibit keeps the explicit IvfK so the dumped codebook stays the
+    * oracle input). */
+  def ivfAutoK(rows: Long): Int =
+    math.min(4096L, math.max(8L, math.round(math.sqrt(rows.toDouble)))).toInt
+
+  private val embRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embeddingRows(s: SparkSession, dir: String): Long =
+    embRowsCache.computeIfAbsent(dir,
+      d => s.read.parquet(s"$d/embeddings.parquet").count()).longValue()
+
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Seq[Double]]]()
   def ivfCentroids(s: SparkSession, dir: String,
-                   k: Int = IvfK): Seq[Seq[Double]] =
-    ivfCache.computeIfAbsent((dir, k), { case (d, kk) =>
+                   k: Int = IvfK): Seq[Seq[Double]] = {
+    val kEff = if (k == 0) ivfAutoK(embeddingRows(s, dir)) else k
+    ivfCache.computeIfAbsent((dir, kEff), { case (d, kk) =>
+      // training sample stays bounded but scales with k (>= 8 points per
+      // cell; a fixed 512-row sample would be degenerate at auto-k on a
+      // large table) — at warehouse scale this is a TABLESAMPLE either way
+      val sampleN = math.max(512, 8 * kk)
       val sample = withFns(s).read.parquet(s"$d/embeddings.parquet")
-        .filter(col("vec_id") < 512).orderBy("vec_id")
+        .filter(col("vec_id") < sampleN).orderBy("vec_id")
         .select(col("embedding").cast("array<double>").as("emb"))
         .collect().map(_.getSeq[Double](0).toArray)
       graft.core.KMeans.trainCosine(
@@ -72,6 +91,7 @@ object SparkEntry {
           k = kk, iters = 10, seed = 42L)
         .map(_.toSeq).toSeq
     })
+  }
 
   /** Minimum assignment margin (best minus second-best centroid cosine)
     * over every vector in the table — the dump-time guard against
@@ -321,7 +341,29 @@ object SparkEntry {
     * pathological boilerplate, not a legitimate duplicate cluster. At the
     * verify/bench scales the largest legitimate bucket is 50 (sf0.1
     * same-variant planted docs), under the cap. */
-  private def minhashConfirmedPairs(s: SparkSession, dir: String): DataFrame = {
+  /** The dedup_minhash_pairs body, public with the scale lever exposed:
+    * `persistBands = true` caches the exploded band rows
+    * (MEMORY_AND_DISK) across their three consumers — the 100 TB
+    * configuration, where re-reading the source scan dominates; at
+    * verify scale the recompute is cheaper (measured: an eager
+    * localCheckpoint made the query 3-4x slower), so the driver query
+    * keeps the default. Both paths produce identical pairs (OpsSpec
+    * equality gate). The caller owns the cache lifetime
+    * (`unpersistDedupBands()` when done). */
+  def dedupMinhashPairs(s: SparkSession, dir: String,
+                        persistBands: Boolean = false): DataFrame =
+    minhashConfirmedPairs(s, dir, persistBands)
+
+  private val persistedBands =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  def unpersistDedupBands(): Unit = {
+    val it = persistedBands.values.iterator()
+    while (it.hasNext) it.next().unpersist()
+    persistedBands.clear()
+  }
+
+  private def minhashConfirmedPairs(s: SparkSession, dir: String,
+                                    persistBands: Boolean = false): DataFrame = {
     val d = docs(s, dir).withColumn("t", expr(nearDupSql))
     // The band keys feed three consumers (the bucket-size aggregation and
     // both sides of the band self-join) and the plan re-evaluates the
@@ -331,9 +373,13 @@ object SparkEntry {
     // shingles made the query 3-4x slower — RDD-block round-trip and lost
     // whole-stage codegen dominate); on a 100 TB run, where the scan is
     // the expensive part, the right lever is persist(MEMORY_AND_DISK) on
-    // bandRows + unpersist after, same plan shape.
-    val bandRows = d.select(col("doc_id"),
+    // bandRows — exposed as `persistBands` (see [[dedupMinhashPairs]]).
+    val bandRowsRaw = d.select(col("doc_id"),
       explode(lsh_bands(col("t"))).as("band"))
+    val bandRows =
+      if (!persistBands) bandRowsRaw
+      else persistedBands.computeIfAbsent(dir, _ => bandRowsRaw.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val safeBuckets = bandRows.groupBy("band")
       .agg(count(lit(1)).as("bn")).filter(col("bn") <= 64).select("band")
     val safe = bandRows.join(safeBuckets, "band")

@@ -180,25 +180,28 @@ class OpsSpec extends AnyFunSuite {
       s"trained+multiprobe=$trainedRecall < naive=$naiveRecall")
   }
 
-  test("IVF recall curve (k=64, 32k vectors): recall@10 rises " +
-      "monotonically with nprobe 1 -> 2 -> 4 while the probed candidate " +
-      "fraction tracks nprobe/k") {
+  /** Shared recall-curve harness: 32k synthetic vectors in 64 true
+    * clusters, a trained codebook of `kCells` cells, recall@10 and probed
+    * fraction per nprobe — used by the k=64 gate and the auto-k gate. */
+  private def ivfRecallCurve(kCells: Int, nprobes: Seq[Int])
+      : (Map[Int, Double], Map[Int, Double], Int) = {
     import graft.expr.GraftFunctions._
     import spark.implicits._
     val dim = 16
     val nVec = 32768
-    val k = 64
+    val k = kCells
     val rnd = new scala.util.Random(42)
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
     }
     // 64 true clusters on the unit sphere + per-point gaussian noise —
-    // the shape an embedding table actually has (IVF's use case)
+    // the shape an embedding table actually has (IVF's use case); the
+    // codebook size k varies independently (auto-k derives ~181 cells)
     val trueCenters =
-      Array.fill(k)(normalize(Array.fill(dim)(rnd.nextGaussian())))
+      Array.fill(64)(normalize(Array.fill(dim)(rnd.nextGaussian())))
     def point(): Array[Double] = {
-      val c = trueCenters(rnd.nextInt(k))
+      val c = trueCenters(rnd.nextInt(trueCenters.length))
       normalize(Array.tabulate(dim)(d => c(d) + 0.35 * rnd.nextGaussian()))
     }
     val points = Array.fill(nVec)(point())
@@ -229,7 +232,6 @@ class OpsSpec extends AnyFunSuite {
       cand.map(i => (i, cos(points(i), q))).toArray
         .sortBy { case (i, s) => (-s, i) }.take(10).map(_._1).toSet
 
-    val nprobes = Seq(1, 2, 4)
     val (recallByNp, fracByNp) = {
       val recalls = scala.collection.mutable.Map(nprobes.map(_ -> 0.0): _*)
       val fracs = scala.collection.mutable.Map(nprobes.map(_ -> 0.0): _*)
@@ -248,7 +250,15 @@ class OpsSpec extends AnyFunSuite {
       (recalls.map { case (np, s) => np -> s / queries.length },
         fracs.map { case (np, s) => np -> s / queries.length })
     }
+    (recallByNp.toMap, fracByNp.toMap, nVec)
+  }
 
+  test("IVF recall curve (k=64, 32k vectors): recall@10 rises " +
+      "monotonically with nprobe 1 -> 2 -> 4 while the probed candidate " +
+      "fraction tracks nprobe/k") {
+    val nprobes = Seq(1, 2, 4)
+    val k = 64
+    val (recallByNp, fracByNp, _) = ivfRecallCurve(k, nprobes)
     val (r1, r2, r4) = (recallByNp(1), recallByNp(2), recallByNp(4))
     info(f"recall@10: nprobe=1 $r1%.3f, 2 $r2%.3f, 4 $r4%.3f; " +
       f"probed frac: ${fracByNp(1)}%.4f / ${fracByNp(2)}%.4f / " +
@@ -264,6 +274,56 @@ class OpsSpec extends AnyFunSuite {
       assert(fracByNp(np) <= 1.5 * np.toDouble / k,
         s"nprobe=$np probed ${fracByNp(np)} > 1.5 * $np/$k")
     }
+  }
+
+  test("IVF auto-k: k = clamp(sqrt(N), 8, 4096) when the caller passes " +
+      "k = 0, and the recall gate holds at the derived k on the " +
+      "32k-vector table") {
+    // the sizing function itself
+    assert(SparkEntry.ivfAutoK(10) == 8) // lower clamp
+    assert(SparkEntry.ivfAutoK(32768) == 181)
+    assert(SparkEntry.ivfAutoK(1000000000L) == 4096) // upper clamp
+    // k = 0 engages auto-k against the real embeddings table: the derived
+    // codebook has clamp(sqrt(rows)) cells, all non-degenerate
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val autoCb = SparkEntry.ivfCentroids(spark, dir, k = 0)
+    assert(autoCb.size == SparkEntry.ivfAutoK(rows),
+      s"auto codebook ${autoCb.size} != ${SparkEntry.ivfAutoK(rows)}")
+    assert(autoCb.forall(_.exists(_ != 0.0)), "degenerate zero centroid")
+    // recall curve at the k auto-sizing derives for the 32k synth table
+    // (181 cells over 64 true clusters): recall still rises with nprobe
+    // and the probed fraction still tracks nprobe/k
+    val nprobes = Seq(1, 2, 4, 8)
+    val kAuto = SparkEntry.ivfAutoK(32768)
+    val (recallByNp, fracByNp, _) = ivfRecallCurve(kAuto, nprobes)
+    val rs = nprobes.map(recallByNp)
+    info(f"auto-k=$kAuto recall@10 by nprobe: " +
+      rs.map(r => f"$r%.3f").mkString(" / ") +
+      "; frac: " + nprobes.map(np => f"${fracByNp(np)}%.4f").mkString(" / "))
+    assert(rs.zip(rs.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone at auto-k: $rs")
+    assert(rs.last > rs.head, s"nprobe=8 gained nothing: $rs")
+    assert(rs.last >= 0.6, s"nprobe=8 recall too low at auto-k: ${rs.last}")
+    nprobes.foreach { np =>
+      assert(fracByNp(np) <= 1.5 * np.toDouble / kAuto,
+        s"nprobe=$np probed ${fracByNp(np)} > 1.5 * $np/$kAuto")
+    }
+  }
+
+  test("LSH persist lever: dedupMinhashPairs(persistBands = true) " +
+      "produces exactly the default path's pairs (the 100 TB cache " +
+      "lever cannot change results)") {
+    val base = SparkEntry.dedupMinhashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val persisted = try {
+      SparkEntry.dedupMinhashPairs(spark, dir, persistBands = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    } finally SparkEntry.unpersistDedupBands()
+    assert(base == persisted,
+      s"persist path diverged: ${persisted.diff(base)} / ${base.diff(persisted)}")
+    assert(base.nonEmpty)
   }
 
   test("rpc boundary: one client per task, batched, retried, row-isolated") {
