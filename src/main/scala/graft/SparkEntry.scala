@@ -202,14 +202,37 @@ object SparkEntry {
     "case when doc_id % 11 < 2 then 'duplicate cluster ' || (doc_id % 3) " +
       "else text end"
 
-  /** Near-dup groups: every 25th doc becomes a shared base paragraph with a
-    * tiny per-doc tail, giving ~20 docs in 4 high-Jaccard clusters. */
-  private val nearDupSql: String =
+  /** Documents-table row count, memoized per dir — sizes the scale-aware
+    * plantings below (and is what a real deployment reads from table
+    * metadata). */
+  private val docRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def numDocs(s: SparkSession, dir: String): Long =
+    docRowsCache.computeIfAbsent(dir,
+      d => s.read.parquet(s"$d/documents.parquet").count()).longValue()
+
+  /** Near-dup variant count, SCALE-AWARE: every 25th doc becomes a shared
+    * base paragraph, and the number of distinct variants grows with the
+    * table so each planted cluster stays ~50 docs — the dedup pipeline's
+    * standing assumption (exact dedup runs first, so no legitimate
+    * near-dup bucket exceeds the 64 cap) must hold at EVERY scale factor,
+    * not just the one the cap was tuned on. 4 variants up to sf0.1
+    * (unchanged exhibit), 40 at sf1, 400 at sf10. */
+  def nearDupVariants(nDocs: Long): Int =
+    math.max(4L, nDocs / 1250L).toInt
+
+  /** Near-dup planting parameterized by variant count; variant index is
+    * `(doc_id div 25) % v` (the planted docs' own ordinal — a plain
+    * `doc_id % v` only reaches gcd(25, v) residues). */
+  private def nearDupSql(v: Int): String =
     "case when doc_id % 25 = 0 then concat(" +
       "'the quick brown fox jumps over the lazy dog while the wise old owl " +
       "watches from the tall oak tree near the quiet river bank every " +
       "single morning of the long warm summer season tail variant ', " +
-      "cast(doc_id % 4 as string)) else text end"
+      s"cast((doc_id div 25) % $v as string)) else text end"
+
+  /** Placeholder Verify substitutes with the computed variant count. */
+  final val NVarToken = "__NVAR__"
 
   /** DuckDB form of nearDupSql's planted base paragraph — ONE copy
     * shared by the three oracles that rebuild it (a drifted copy would
@@ -218,7 +241,7 @@ object SparkEntry {
     "'the quick brown fox jumps over the lazy dog while the " +
       "wise old owl watches from the tall oak tree near the quiet river " +
       "bank every single morning of the long warm summer season tail " +
-      "variant ' || (doc_id % 4)"
+      s"variant ' || ((doc_id // 25) % $NVarToken)"
 
   /** CTE chain computing the exact-Jaccard >= 0.8 pair set (`jpairs`) in
     * DuckDB — shared by the dedup_minhash_pairs and dedup_clusters
@@ -364,7 +387,8 @@ object SparkEntry {
 
   private def minhashConfirmedPairs(s: SparkSession, dir: String,
                                     persistBands: Boolean = false): DataFrame = {
-    val d = docs(s, dir).withColumn("t", expr(nearDupSql))
+    val d = docs(s, dir).withColumn("t",
+      expr(nearDupSql(nearDupVariants(numDocs(s, dir)))))
     // The band keys feed three consumers (the bucket-size aggregation and
     // both sides of the band self-join) and the plan re-evaluates the
     // banding kernel per consumer (no ReusedExchange across the
@@ -704,7 +728,8 @@ object SparkEntry {
 
     // ---- dedup: 3-gram-shingle Jaccard over planted near-dup clusters ----
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val d = docs(s, dir).withColumn("t", expr(nearDupSql))
+      val d = docs(s, dir).withColumn("t",
+          expr(nearDupSql(nearDupVariants(numDocs(s, dir)))))
         .filter(expr("doc_id % 25 = 0"))
         .select(col("doc_id"), shingles(col("t")).as("sh"))
       val sh = d.select(col("doc_id"), explode(col("sh")).as("w"))
@@ -861,10 +886,14 @@ object SparkEntry {
     // ---- dedup: embedding-cosine near-dup pairs (planted, oracled) ----
     // Planted near-copies: vec_id % 25 == 0 gets a perturbed twin at
     // vec_id + 100000; pairwise cosine >= 0.8 recovers exactly the 20
-    // planted pairs. Brute-force pairwise here (500 rows); at scale the
-    // LSH/IVF bucketing below prunes the candidate set first.
+    // planted pairs. Brute-force pairwise here — a LABELED EXACT BASELINE
+    // bounded to the first EmbPairsCap vectors (a no-op at verify/bench
+    // scales, which have <= 2000; at sf >= 1 it keeps the exhibit's
+    // quadratic cost constant). The discovery path at scale is the
+    // LSH/IVF bucketing below, never all-pairs.
     "dedup_embedding_pairs" -> ((s, dir) => {
       val emb = withFns(s).read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < EmbPairsCap)
       val asD = col("embedding").cast("array<double>")
       // DuckDB list lambdas index 1-based; mirror with (i + 1)
       val planted = emb.filter(col("vec_id") % 25 === 0)
@@ -972,6 +1001,11 @@ object SparkEntry {
             .as("fake_height"))
         .orderBy("doc_id")))
 
+  /** Bound on the brute-force embedding-pairs exhibit (see
+    * `dedup_embedding_pairs`). 2000 = the sf0.1 table size, so every
+    * driver scale is unaffected. */
+  final val EmbPairsCap = 2000L
+
   /** Placeholder Verify substitutes with the absolute path of the
     * side-channel oracle inputs it dumps (generator truth table, trained
     * IVF codebook) — kept OUTSIDE the driver's compare dir so they are
@@ -1045,12 +1079,13 @@ object SparkEntry {
         "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
 
     "dedup_embedding_pairs" ->
-      ("WITH planted AS (SELECT vec_id + 100000 AS vec_id, " +
+      (s"WITH capped AS (SELECT * FROM embeddings WHERE vec_id < $EmbPairsCap), " +
+        "planted AS (SELECT vec_id + 100000 AS vec_id, " +
         "list_transform(CAST(embedding AS DOUBLE[]), (x, i) -> " +
         "x + ((i * 37) % 11 - 5) / 200.0) AS emb " +
-        "FROM embeddings WHERE vec_id % 25 = 0), " +
+        "FROM capped WHERE vec_id % 25 = 0), " +
         "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb " +
-        "FROM embeddings UNION ALL SELECT vec_id, emb FROM planted) " +
+        "FROM capped UNION ALL SELECT vec_id, emb FROM planted) " +
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
         "round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine " +
         "FROM base a JOIN base b ON a.vec_id < b.vec_id " +

@@ -99,9 +99,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // scale-dependent oracle constant: the near-dup variant count the
+    // Spark queries derive from the documents row count — substituted
+    // here so the DuckDB side plants the identical clusters at any sf
+    val nVar =
+      SparkEntry.nearDupVariants(SparkEntry.numDocs(spark, sfDir)).toString
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
-        s"${q(k)}: ${q(v.replace(SparkEntry.AuxDirToken, auxDir))}" }
+        s"${q(k)}: ${q(v.replace(SparkEntry.AuxDirToken, auxDir)
+          .replace(SparkEntry.NVarToken, nVar))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
