@@ -221,27 +221,42 @@ object SparkEntry {
   def nearDupVariants(nDocs: Long): Int =
     math.max(4L, nDocs / 1250L).toInt
 
+  /** The shared near-dup base paragraph (words only; the variant tag is
+    * suffixed onto EVERY word — see below). */
+  private val nearDupBaseWords: String =
+    "the quick brown fox jumps over the lazy dog while the wise old owl " +
+      "watches from the tall oak tree near the quiet river bank every " +
+      "single morning of the long warm summer season tail variant"
+
   /** Near-dup planting parameterized by variant count; variant index is
     * `(doc_id div 25) % v` (the planted docs' own ordinal — a plain
-    * `doc_id % v` only reaches gcd(25, v) residues). */
+    * `doc_id % v` only reaches gcd(25, v) residues).
+    *
+    * The tag is appended to EVERY word of the base, so different variants
+    * share ZERO shingles. A trailing-tag-only construction left
+    * cross-variant Jaccard at ~0.94 — above the 0.8 output threshold —
+    * which at sf0.01 read as 150 extra true pairs through small buckets,
+    * but at sf >= 1 put every planted doc into one shared-shingle band
+    * bucket that blows the 64 cap: the brute-force oracle kept emitting
+    * the quadratic cross-variant pair set while the capped LSH side
+    * (correctly) dropped it. Disjoint variants make the planted truth
+    * identical at every scale: within-variant J = 1, cross-variant
+    * J = 0. */
   private def nearDupSql(v: Int): String =
-    "case when doc_id % 25 = 0 then concat(" +
-      "'the quick brown fox jumps over the lazy dog while the wise old owl " +
-      "watches from the tall oak tree near the quiet river bank every " +
-      "single morning of the long warm summer season tail variant ', " +
-      s"cast((doc_id div 25) % $v as string)) else text end"
+    s"case when doc_id % 25 = 0 then array_join(transform(" +
+      s"split('$nearDupBaseWords', ' '), " +
+      s"w -> concat(w, cast((doc_id div 25) % $v as string))), ' ') " +
+      "else text end"
 
   /** Placeholder Verify substitutes with the computed variant count. */
   final val NVarToken = "__NVAR__"
 
-  /** DuckDB form of nearDupSql's planted base paragraph — ONE copy
-    * shared by the three oracles that rebuild it (a drifted copy would
-    * silently desynchronize the pair sets). */
+  /** DuckDB form of nearDupSql's planted paragraph — ONE copy shared by
+    * the oracles that rebuild it (a drifted copy would silently
+    * desynchronize the pair sets). */
   private val nearDupBaseDuck: String =
-    "'the quick brown fox jumps over the lazy dog while the " +
-      "wise old owl watches from the tall oak tree near the quiet river " +
-      "bank every single morning of the long warm summer season tail " +
-      s"variant ' || ((doc_id // 25) % $NVarToken)"
+    s"array_to_string(list_transform(string_split('$nearDupBaseWords', ' '), " +
+      s"w -> w || ((doc_id // 25) % $NVarToken)), ' ')"
 
   /** CTE chain computing the exact-Jaccard >= 0.8 pair set (`jpairs`) in
     * DuckDB — shared by the dedup_minhash_pairs and dedup_clusters
@@ -1254,13 +1269,19 @@ object SparkEntry {
         "count(*) AS n_docs FROM documents WHERE doc_id % 11 < 2 " +
         "GROUP BY 1 ORDER BY cluster"),
 
+    // the unplanted group's expected distinct-fingerprint count is the
+    // TRUE distinct-text count, not count(*): at sf >= 0.1 the synthetic
+    // vocab produces natural duplicate texts (scale-fragile assumption
+    // caught by the sf1 run), and identical texts SHOULD share a
+    // fingerprint — the gate is collision-freedom over distinct texts
     "text_fingerprint" ->
       ("SELECT 'cluster_' || (doc_id % 3) AS grp, count(*) AS n_docs, " +
         "CAST(1 AS BIGINT) AS n_distinct_fp FROM documents " +
         "WHERE doc_id % 11 < 2 GROUP BY 1 " +
         "UNION ALL " +
         "SELECT 'unique_texts' AS grp, count(*) AS n_docs, " +
-        "count(*) AS n_distinct_fp FROM documents WHERE doc_id % 11 >= 2 " +
+        "count(DISTINCT text) AS n_distinct_fp FROM documents " +
+        "WHERE doc_id % 11 >= 2 " +
         "ORDER BY grp"),
 
     "text_token_counts" -> {
