@@ -591,9 +591,14 @@ case class BpeCount(child: Expression) extends StringKernelCodegenExpression {
 case class FingerprintExpr(child: Expression) extends StringKernelCodegenExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
-    Dedup.fingerprint(v.asInstanceOf[UTF8String].toString)
+    Dedup.fingerprint(v.asInstanceOf[UTF8String].toString, 64)
+  // window arg EXPLICIT: Scala default args don't exist as a bytecode
+  // overload, so Janino saw "no applicable method" and the WHOLE
+  // projection silently fell back to interpreter mode (caught via the
+  // sf1 run's fallback warnings; CodegenSmokeSpec now sweeps every
+  // registered kernel against this class of bug)
   override protected def staticCall(c: String): String =
-    s"graft.core.Dedup.fingerprint($c.toString())"
+    s"graft.core.Dedup.fingerprint($c.toString(), 64)"
   override protected def withNewChildInternal(c: Expression): FingerprintExpr = copy(c)
   override def prettyName: String = "graft_fingerprint"
 }
