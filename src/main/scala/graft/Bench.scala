@@ -40,8 +40,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Default 1M docs (round 5, up from 400k): the round-5 scanner work
+    * cut per-doc cost ~3x, so a 400k-doc pass at local[32] fell to
+    * ~3.3 s and fixed per-pass overhead plus short-run variance began
+    * dominating the efficiency pairs (measured: 4→16 wall 0.740 at 400k
+    * vs 0.896 at 4M on the SAME code and window class). 1M restores the
+    * pass lengths the interleaved-median methodology was designed
+    * around; the sandbox stand-in still models per-executor throughput,
+    * which on a real cluster amortizes over hours, not seconds. */
   private val BenchDocs: Long =
-    sys.env.get("SPARK_GRAFT_BENCH_DOCS").map(_.toLong).getOrElse(400000L)
+    sys.env.get("SPARK_GRAFT_BENCH_DOCS").map(_.toLong).getOrElse(1000000L)
 
   private def session(cpus: Int): SparkSession = {
     SparkSession.clearActiveSession()
@@ -52,6 +60,17 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Pin file-split sizing: Spark's default maxSplitBytes =
+      // min(128MB, max(openCost, totalSize/defaultParallelism)) packed
+      // the 64-split pages table into ~6 scan partitions at local[4]
+      // (measured: two ragged task waves, ~70% thread occupancy, every
+      // 4→16 pair superlinear at 1.1-1.26 — a scan-layout artifact, not
+      // engine scaling). 8MB splits keep every generated file its own
+      // task: >= 2 even waves at every level, occupancy back to ~1.0.
+      // Same lever as sizing input splits per executor on a real
+      // cluster (SURVEY §4.3).
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .withExtensions(new graft.expr.GraftExtensions)
       .getOrCreate()
   }

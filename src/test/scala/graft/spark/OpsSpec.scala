@@ -72,16 +72,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("dedup_clusters: planted docs form one component, canonical = min id") {
+  test("dedup_clusters: planted docs form one component PER VARIANT, " +
+      "canonical = min id") {
     val rows = SparkEntry.queries("dedup_clusters")(spark, dir).collect()
     val planted = rows.filter(r => r.getLong(0) % 25 == 0)
-    // all 20 planted docs share the long base paragraph, so cross-variant
-    // Jaccard (~0.84) also clears the 0.8 confirm threshold: ONE component
+    // round-5 planting: the variant tag suffixes every base word, so
+    // variants share zero shingles — each of the 4 variants is its own
+    // component (within-variant J = 1, cross-variant J = 0; the truth
+    // that now holds at EVERY scale factor), cluster id = the variant's
+    // min doc_id = variant * 25 at sf0.001
     assert(planted.length == 20)
-    assert(planted.forall(_.getLong(1) == 0L),
-      planted.map(r => (r.getLong(0), r.getLong(1))).mkString(","))
-    val canon = planted.filter(_.getBoolean(2)).map(_.getLong(0)).toSeq
-    assert(canon == Seq(0L), s"canonical=$canon")
+    planted.foreach { r =>
+      val variant = (r.getLong(0) / 25) % 4
+      assert(r.getLong(1) == variant * 25,
+        s"doc ${r.getLong(0)} expected cluster ${variant * 25}, " +
+          s"got ${r.getLong(1)}")
+    }
+    val canon = planted.filter(_.getBoolean(2)).map(_.getLong(0)).sorted.toSeq
+    assert(canon == Seq(0L, 25L, 50L, 75L), s"canonical=$canon")
     // every cluster in the output has exactly one canonical, the min id
     rows.groupBy(_.getLong(1)).foreach { case (cid, members) =>
       assert(members.map(_.getLong(0)).min == cid)
