@@ -345,13 +345,19 @@ object Bench {
     // alongside the all-clean-cycles median, separating host physics
     // from engine scaling by measurement.
     val cpuEffDegradedThreshold = 0.75
-    val used832Undisturbed =
-      used.filter(cpuEffCycle(_, 8, 32) >= cpuEffDegradedThreshold)
+    val used832Undisturbed = used.filter { c =>
+      val ce = cpuEffCycle(c, 8, 32)
+      // ce == 0 means CPU accounting was unavailable (no /proc/self/stat)
+      // — unknown is NOT degraded; only a measured-low ratio classifies
+      ce == 0.0 || ce >= cpuEffDegradedThreshold
+    }
     val n832Degraded = used.size - used832Undisturbed.size
     val eff832Undisturbed =
       if (used832Undisturbed.nonEmpty)
         median(plausible(used832Undisturbed.map(effCycle(_, 8, 32))))
-      else 0.0
+      else median(eff832) // every cycle degraded: no separate evidence —
+                          // fall back to the headline median (labeled by
+                          // n_cycles_8_to_32_degraded == cycles_used)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

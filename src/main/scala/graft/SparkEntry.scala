@@ -34,14 +34,16 @@ object SparkEntry {
   def synthN(dir: String): Long = if (dir.contains("0.001")) 500L else 2000L
 
   /** Trained IVF coarse codebook: deterministic seeded k-means over a
-    * bounded, deterministic sample (first 512 vec_ids — at warehouse scale
-    * this is a TABLESAMPLE; cost is constant w.r.t. table size either
-    * way). The codebook is an ORACLE INPUT: Verify dumps it, and the
-    * DuckDB side verifies assignment + cell-restricted search GIVEN these
-    * centroids (the invariant "assigned cell = argmax cosine over trained
-    * centroids" from the round-2 verdict). Memoized per (dir, k) —
-    * training is deterministic and the table is read-only, so Verify's
-    * dump and the query's literal are the same computation done once.
+    * bounded, deterministic sample — the first max(512, 8*k) vec_ids, so
+    * the sample scales with the cell count (>= 8 points per cell at
+    * auto-k) while staying constant w.r.t. table size (a TABLESAMPLE at
+    * warehouse scale). The codebook is an ORACLE INPUT: Verify dumps it,
+    * and the DuckDB side verifies assignment + cell-restricted search
+    * GIVEN these centroids (the invariant "assigned cell = argmax cosine
+    * over trained centroids" from the round-2 verdict). Memoized per
+    * (dir signature, k) — training is deterministic, and the key carries
+    * the table file's mtime+size so an in-place regeneration invalidates
+    * the cache.
     *
     * `IvfK` / `IvfNProbe` are the EXHIBIT DEFAULTS for the driver query at
     * verify scale, not hard-coded engine constants: [[ivfCentroids]] and
@@ -66,31 +68,45 @@ object SparkEntry {
   def ivfAutoK(rows: Long): Int =
     math.min(4096L, math.max(8L, math.round(math.sqrt(rows.toDouble)))).toInt
 
+  /** Cheap file signature (mtime + size) for memoization keys: a table
+    * regenerated IN PLACE within one JVM must invalidate the cached row
+    * counts / codebooks derived from it, or the scale-derived constants
+    * (nearDupVariants, ivfAutoK) silently desynchronize from what a
+    * freshly-started oracle computes. */
+  private def tableSig(dir: String, table: String): String = {
+    val p = java.nio.file.Paths.get(dir, s"$table.parquet")
+    try s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}:${java.nio.file.Files.size(p)}"
+    catch { case _: java.io.IOException => "absent" }
+  }
+
   private val embRowsCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def embeddingRows(s: SparkSession, dir: String): Long =
-    embRowsCache.computeIfAbsent(dir,
-      d => s.read.parquet(s"$d/embeddings.parquet").count()).longValue()
+    embRowsCache.computeIfAbsent(
+      s"$dir@${tableSig(dir, "embeddings")}",
+      _ => s.read.parquet(s"$dir/embeddings.parquet").count()).longValue()
 
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Seq[Double]]]()
   def ivfCentroids(s: SparkSession, dir: String,
                    k: Int = IvfK): Seq[Seq[Double]] = {
     val kEff = if (k == 0) ivfAutoK(embeddingRows(s, dir)) else k
-    ivfCache.computeIfAbsent((dir, kEff), { case (d, kk) =>
-      // training sample stays bounded but scales with k (>= 8 points per
-      // cell; a fixed 512-row sample would be degenerate at auto-k on a
-      // large table) — at warehouse scale this is a TABLESAMPLE either way
-      val sampleN = math.max(512, 8 * kk)
-      val sample = withFns(s).read.parquet(s"$d/embeddings.parquet")
-        .filter(col("vec_id") < sampleN).orderBy("vec_id")
-        .select(col("embedding").cast("array<double>").as("emb"))
-        .collect().map(_.getSeq[Double](0).toArray)
-      graft.core.KMeans.trainCosine(
-          scala.collection.immutable.ArraySeq.unsafeWrapArray(sample),
-          k = kk, iters = 10, seed = 42L)
-        .map(_.toSeq).toSeq
-    })
+    ivfCache.computeIfAbsent(
+      (s"$dir@${tableSig(dir, "embeddings")}", kEff), { case (_, kk) =>
+        // training sample stays bounded but scales with k (>= 8 points
+        // per cell; a fixed 512-row sample would be degenerate at auto-k
+        // on a large table) — at warehouse scale this is a TABLESAMPLE
+        // either way
+        val sampleN = math.max(512, 8 * kk)
+        val sample = withFns(s).read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") < sampleN).orderBy("vec_id")
+          .select(col("embedding").cast("array<double>").as("emb"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        graft.core.KMeans.trainCosine(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(sample),
+            k = kk, iters = 10, seed = 42L)
+          .map(_.toSeq).toSeq
+      })
   }
 
   /** Minimum assignment margin (best minus second-best centroid cosine)
@@ -208,8 +224,9 @@ object SparkEntry {
   private val docRowsCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   def numDocs(s: SparkSession, dir: String): Long =
-    docRowsCache.computeIfAbsent(dir,
-      d => s.read.parquet(s"$d/documents.parquet").count()).longValue()
+    docRowsCache.computeIfAbsent(
+      s"$dir@${tableSig(dir, "documents")}",
+      _ => s.read.parquet(s"$dir/documents.parquet").count()).longValue()
 
   /** Near-dup variant count, SCALE-AWARE: every 25th doc becomes a shared
     * base paragraph, and the number of distinct variants grows with the
@@ -396,7 +413,12 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   def unpersistDedupBands(): Unit = {
     val it = persistedBands.values.iterator()
-    while (it.hasNext) it.next().unpersist()
+    while (it.hasNext) {
+      // tolerate entries whose owning session has already been stopped —
+      // cleanup must never throw on a dead SparkContext
+      try it.next().unpersist()
+      catch { case _: IllegalStateException | _: NullPointerException => }
+    }
     persistedBands.clear()
   }
 
@@ -417,8 +439,15 @@ object SparkEntry {
       explode(lsh_bands(col("t"))).as("band"))
     val bandRows =
       if (!persistBands) bandRowsRaw
-      else persistedBands.computeIfAbsent(dir, _ => bandRowsRaw.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else persistedBands.compute(dir, (_, cached) =>
+        // cache is per (dir, OWNING SESSION): a DataFrame persisted under
+        // a since-stopped SparkContext must be replaced, not returned —
+        // acting on it would throw "SparkContext has been shut down"
+        if (cached != null &&
+            (cached.sparkSession eq s) &&
+            !cached.sparkSession.sparkContext.isStopped) cached
+        else bandRowsRaw.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val safeBuckets = bandRows.groupBy("band")
       .agg(count(lit(1)).as("bn")).filter(col("bn") <= 64).select("band")
     val safe = bandRows.join(safeBuckets, "band")

@@ -85,10 +85,17 @@ object PiiDetector {
     * pairs: a hand-table that missed one fold char made scanFast skip
     * emails the combined regex matches — unscrubbed PII (verified:
     * ſmith@example.com matched scan() but not scanFast). */
-  private val emailExtraChars: java.util.BitSet = {
-    val p = Pattern.compile("[a-zA-Z0-9._%+-]", flags)
+  /** BMP membership of a single-char regex class under this scanner's
+    * flags, derived from the COMPILED pattern in one 64k sweep — the ONE
+    * shared constructor for every dispatch gate (hand-listing fold pairs
+    * is how the round-4 Unicode-parity leaks happened: 'i' folds with
+    * U+0130/U+0131, 'k' with U+212A, [a-zA-Z] with U+017F — sets a hand
+    * table misses). */
+  private def classBitSet(classPattern: String,
+                          from: Int = 0): java.util.BitSet = {
+    val p = Pattern.compile(classPattern, flags)
     val bs = new java.util.BitSet(0x10000)
-    var c = 128
+    var c = from
     while (c < 0x10000) {
       val ch = c.toChar
       if (!Character.isSurrogate(ch) &&
@@ -97,47 +104,23 @@ object PiiDetector {
     }
     bs
   }
+
+  private val emailExtraChars: java.util.BitSet =
+    classBitSet("[a-zA-Z0-9._%+-]", from = 128)
   @inline private def inEmailClass(c: Char): Boolean =
     if (c < 128) emailLocalClass(c) else emailExtraChars.get(c)
 
-  /** Exact fold-class of a single pattern char under this scanner's flags,
-    * derived from the COMPILED pattern (same construction as
-    * [[emailExtraChars]]): hand-listing case pairs is how the round-4
-    * Unicode-parity leaks happened ('i' folds with U+0130/U+0131, 'k'
-    * with U+212A — sets a hand table misses). */
-  private def foldClass(ch: Char): java.util.BitSet = {
-    val p = Pattern.compile(Pattern.quote(ch.toString), flags)
-    val bs = new java.util.BitSet(0x10000)
-    var c = 0
-    while (c < 0x10000) {
-      val cc = c.toChar
-      if (!Character.isSurrogate(cc) &&
-          p.matcher(String.valueOf(cc)).matches()) bs.set(c)
-      c += 1
-    }
-    bs
-  }
   /** 2nd/3rd chars of the credit-literal patterns ("cRedit...") — gates
-    * the two credit regexes down from every 'c' in prose to ~"cre". */
-  private val creditFoldR = foldClass('r')
-  private val creditFoldE = foldClass('e')
+    * the two credit regexes down from every 'c' in prose to ~"cre";
+    * fold-exact via [[classBitSet]]. */
+  private val creditFoldR = classBitSet(Pattern.quote("r"))
+  private val creditFoldE = classBitSet(Pattern.quote("e"))
 
   /** Chars that can follow the leading digit group of the phone pattern
-    * (`\)?[-.\s]?` — ')' or a separator), derived from the COMPILED class
-    * so `\s` has the regex's own UNICODE_CHARACTER_CLASS extension (NBSP
-    * etc.), not Character.isWhitespace's. */
-  private val phoneSepSet: java.util.BitSet = {
-    val p = Pattern.compile("""[-.\s)]""", flags)
-    val bs = new java.util.BitSet(0x10000)
-    var c = 0
-    while (c < 0x10000) {
-      val cc = c.toChar
-      if (!Character.isSurrogate(cc) &&
-          p.matcher(String.valueOf(cc)).matches()) bs.set(c)
-      c += 1
-    }
-    bs
-  }
+    * (`\)?[-.\s]?` — ')' or a separator), via [[classBitSet]] so `\s`
+    * has the regex's own UNICODE_CHARACTER_CLASS extension (NBSP etc.),
+    * not Character.isWhitespace's. */
+  private val phoneSepSet: java.util.BitSet = classBitSet("""[-.\s)]""")
 
   // ---- fused per-char candidate flags (one 64 KiB table, one load per
   // character in the scan loop — replaces the previous chain of

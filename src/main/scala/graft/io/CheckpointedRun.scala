@@ -156,28 +156,32 @@ object CheckpointedRun {
         val step = (bucketDirs.size + 63) / 64
         val sampled = bucketDirs.indices.collect {
           case idx if idx % math.max(1, step) == 0 => bucketDirs(idx)
-        }.take(64).filter { case (_, dir) =>
-          // a bucket dir holding no parquet (only _SUCCESS, or empty —
-          // a legitimately row-less bucket) has nothing to verify; a
-          // direct read would throw schema-inference AnalysisException
-          // and fail the whole run
-          val ds3 = Files.list(Paths.get(dir))
-          try ds3.iterator().asScala.exists { f =>
-            val n = f.getFileName.toString
-            n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
-          } finally ds3.close()
-        }
+        }.take(64)
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(8, math.max(1, sampled.size)))
         try {
           val futures = sampled.map { case (k, dir) =>
             pool.submit(new java.util.concurrent.Callable[(Long, Long)] {
               override def call(): (Long, Long) = {
-                val bad = spark.read.parquet(dir)
-                  .select(col(keyCol)).limit(32)
-                  .filter(pmod(xxhash64(col(keyCol)), lit(numPartitions))
-                    .cast("long") =!= k)
-                  .count()
+                // a legitimately row-less bucket dir (empty, or only a
+                // _SUCCESS marker) has nothing to verify — tolerate the
+                // schema-inference failure for EXACTLY that case. Any
+                // other layout (nested partition dirs, oddly-suffixed
+                // files) still goes through the real read, so a
+                // mis-keyed prebucketed input cannot dodge verification
+                // by its file naming.
+                val bad =
+                  try spark.read.parquet(dir)
+                    .select(col(keyCol)).limit(32)
+                    .filter(pmod(xxhash64(col(keyCol)), lit(numPartitions))
+                      .cast("long") =!= k)
+                    .count()
+                  catch {
+                    case e: org.apache.spark.sql.AnalysisException
+                        if e.getMessage != null &&
+                          e.getMessage.contains("Unable to infer schema") =>
+                      0L
+                  }
                 (k, bad)
               }
             })

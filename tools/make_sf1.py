@@ -46,19 +46,16 @@ def write(name: str, sql: str) -> None:
 
 
 write("documents", f"""
-  SELECT doc_id + r * 5000 AS doc_id,
-         CASE WHEN r = 0 OR text IS NULL OR trim(text) = '' THEN text
-              ELSE array_to_string(list_transform(string_split(text, ' '),
-                     w -> w || 'r' || r), ' ') END AS text,
-         lang, source,
-         CAST(length(CASE WHEN r = 0 OR text IS NULL OR trim(text) = ''
-                          THEN text
-                          ELSE array_to_string(list_transform(
-                                 string_split(text, ' '),
-                                 w -> w || 'r' || r), ' ') END)
-              AS BIGINT) AS n_chars
-  FROM '{SRC}/documents.parquet', reps
-  ORDER BY doc_id""")
+  WITH suffixed AS (
+    SELECT doc_id + r * 5000 AS doc_id,
+           CASE WHEN r = 0 OR text IS NULL OR trim(text) = '' THEN text
+                ELSE array_to_string(list_transform(string_split(text, ' '),
+                       w -> w || 'r' || r), ' ') END AS text,
+           lang, source
+    FROM '{SRC}/documents.parquet', reps)
+  SELECT doc_id, text, lang, source,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM suffixed ORDER BY doc_id""")
 
 write("embeddings", f"""
   SELECT vec_id + r * 2000 AS vec_id,
