@@ -79,34 +79,45 @@ object SparkEntry {
     catch { case _: java.io.IOException => "absent" }
   }
 
+  // sig lives in the VALUE (not the key): a superseded signature is
+  // replaced in place, so repeated in-place regenerations stay one
+  // entry per dir instead of growing the map (and the codebook cache,
+  // whose entries are k x dim doubles) unboundedly
   private val embRowsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def embeddingRows(s: SparkSession, dir: String): Long =
-    embRowsCache.computeIfAbsent(
-      s"$dir@${tableSig(dir, "embeddings")}",
-      _ => s.read.parquet(s"$dir/embeddings.parquet").count()).longValue()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  private def embeddingRows(s: SparkSession, dir: String,
+                            sig: String): Long =
+    embRowsCache.compute(dir, (_, cached) =>
+      if (cached != null && cached._1 == sig) cached
+      else (sig, s.read.parquet(s"$dir/embeddings.parquet").count()))._2
 
-  private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Seq[Double]]]()
+  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), (String, Seq[Seq[Double]])]()
   def ivfCentroids(s: SparkSession, dir: String,
                    k: Int = IvfK): Seq[Seq[Double]] = {
-    val kEff = if (k == 0) ivfAutoK(embeddingRows(s, dir)) else k
-    ivfCache.computeIfAbsent(
-      (s"$dir@${tableSig(dir, "embeddings")}", kEff), { case (_, kk) =>
+    // ONE signature snapshot per call, reused for both the auto-k row
+    // count and the codebook cache — two independent snapshots would
+    // let an in-place regeneration race a stale-k codebook in under the
+    // new table's signature
+    val sig = tableSig(dir, "embeddings")
+    val kEff = if (k == 0) ivfAutoK(embeddingRows(s, dir, sig)) else k
+    ivfCache.compute((dir, kEff), (_, cached) =>
+      if (cached != null && cached._1 == sig) cached
+      else {
         // training sample stays bounded but scales with k (>= 8 points
         // per cell; a fixed 512-row sample would be degenerate at auto-k
         // on a large table) — at warehouse scale this is a TABLESAMPLE
         // either way
-        val sampleN = math.max(512, 8 * kk)
+        val sampleN = math.max(512, 8 * kEff)
         val sample = withFns(s).read.parquet(s"$dir/embeddings.parquet")
           .filter(col("vec_id") < sampleN).orderBy("vec_id")
           .select(col("embedding").cast("array<double>").as("emb"))
           .collect().map(_.getSeq[Double](0).toArray)
-        graft.core.KMeans.trainCosine(
+        (sig, graft.core.KMeans.trainCosine(
             scala.collection.immutable.ArraySeq.unsafeWrapArray(sample),
-            k = kk, iters = 10, seed = 42L)
-          .map(_.toSeq).toSeq
-      })
+            k = kEff, iters = 10, seed = 42L)
+          .map(_.toSeq).toSeq)
+      })._2
   }
 
   /** Minimum assignment margin (best minus second-best centroid cosine)
@@ -222,11 +233,13 @@ object SparkEntry {
     * plantings below (and is what a real deployment reads from table
     * metadata). */
   private val docRowsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  def numDocs(s: SparkSession, dir: String): Long =
-    docRowsCache.computeIfAbsent(
-      s"$dir@${tableSig(dir, "documents")}",
-      _ => s.read.parquet(s"$dir/documents.parquet").count()).longValue()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  def numDocs(s: SparkSession, dir: String): Long = {
+    val sig = tableSig(dir, "documents")
+    docRowsCache.compute(dir, (_, cached) =>
+      if (cached != null && cached._1 == sig) cached
+      else (sig, s.read.parquet(s"$dir/documents.parquet").count()))._2
+  }
 
   /** Near-dup variant count, SCALE-AWARE: every 25th doc becomes a shared
     * base paragraph, and the number of distinct variants grows with the
@@ -446,8 +459,16 @@ object SparkEntry {
         if (cached != null &&
             (cached.sparkSession eq s) &&
             !cached.sparkSession.sparkContext.isStopped) cached
-        else bandRowsRaw.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        else {
+          // a displaced entry whose context is STILL LIVE (another
+          // session on the same context) must release its blocks now —
+          // replacing the map entry would orphan them unreleasably
+          if (cached != null && !cached.sparkSession.sparkContext.isStopped)
+            try cached.unpersist()
+            catch { case _: IllegalStateException | _: NullPointerException => }
+          bandRowsRaw.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        })
     val safeBuckets = bandRows.groupBy("band")
       .agg(count(lit(1)).as("bn")).filter(col("bn") <= 64).select("band")
     val safe = bandRows.join(safeBuckets, "band")

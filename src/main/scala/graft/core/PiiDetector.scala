@@ -77,20 +77,14 @@ object PiiDetector {
     t
   }
 
-  /** Non-ASCII chars the email class matches under CASE_INSENSITIVE |
-    * UNICODE_CASE — [a-zA-Z] case-folds onto U+017F (long s), U+212A
-    * (Kelvin), U+0130/U+0131 (dotted/dotless I), etc. Derived from the
-    * COMPILED pattern itself (one 64k sweep at class load), so the
-    * dispatch gate is exact by construction instead of hand-listing fold
-    * pairs: a hand-table that missed one fold char made scanFast skip
-    * emails the combined regex matches — unscrubbed PII (verified:
-    * ſmith@example.com matched scan() but not scanFast). */
   /** BMP membership of a single-char regex class under this scanner's
     * flags, derived from the COMPILED pattern in one 64k sweep — the ONE
     * shared constructor for every dispatch gate (hand-listing fold pairs
     * is how the round-4 Unicode-parity leaks happened: 'i' folds with
-    * U+0130/U+0131, 'k' with U+212A, [a-zA-Z] with U+017F — sets a hand
-    * table misses). */
+    * U+0130/U+0131, 'k' with U+212A, [a-zA-Z] with U+017F — a hand table
+    * that missed one fold char made scanFast skip emails the combined
+    * regex matches, i.e. unscrubbed PII: ſmith@example.com matched
+    * scan() but not scanFast). */
   private def classBitSet(classPattern: String,
                           from: Int = 0): java.util.BitSet = {
     val p = Pattern.compile(classPattern, flags)

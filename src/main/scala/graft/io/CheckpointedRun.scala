@@ -177,9 +177,13 @@ object CheckpointedRun {
                       .cast("long") =!= k)
                     .count()
                   catch {
+                    // error-condition match first (version-stable);
+                    // message substring kept as a fallback for builds
+                    // predating the condition name
                     case e: org.apache.spark.sql.AnalysisException
-                        if e.getMessage != null &&
-                          e.getMessage.contains("Unable to infer schema") =>
+                        if e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
+                          (e.getMessage != null &&
+                            e.getMessage.contains("Unable to infer schema")) =>
                       0L
                   }
                 (k, bad)
