@@ -6,7 +6,9 @@
 #   bin/run-job.sh --input <pages parquet|iceberg root> \
 #                  --output <job root> --run-id <id> [RunJob flags...]
 #
-# Env: SPARK_HOME (default /opt/spark), MASTER (default local[32]).
+# Env: SPARK_HOME (default /opt/spark), MASTER (default local[32]),
+#      DRIVER_MEM (default 8g — spark-submit's 1g default OOMs a
+#      local[32] driver, which in local mode hosts every executor).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SPARK_HOME="${SPARK_HOME:-/opt/spark}"
@@ -19,6 +21,7 @@ if [ -z "$JAR" ]; then
 fi
 exec "$SPARK_HOME/bin/spark-submit" \
   --master "$MASTER" \
+  --driver-memory "${DRIVER_MEM:-8g}" \
   --class graft.RunJob \
   --conf spark.sql.session.timeZone=UTC \
   "$JAR" "$@"

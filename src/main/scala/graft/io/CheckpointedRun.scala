@@ -32,6 +32,9 @@ object CheckpointedRun {
 
   final case class PartitionResult(partition: Int, rows: Long, skipped: Boolean)
 
+  /** Files per staged bucket directory (bounded total: P x this). */
+  final val StagedSubsplits = 8
+
   private def progressDir(root: String, runId: String) =
     Paths.get(root, "_progress", s"run=$runId")
 
@@ -201,9 +204,24 @@ object CheckpointedRun {
       case None =>
         val stagedPath = Paths.get(root, "_staged", s"run=$runId").toString
         if (!Files.exists(Paths.get(stagedPath, "_SUCCESS"))) {
+          // Repartition ON THE BUCKET KEY before the partitioned write.
+          // The direct form (withColumn + partitionBy, no shuffle) has
+          // every input task write into up to P bucket directories —
+          // tasks x P files, which at production scale (10^5 input
+          // splits x 4096 buckets) is a catastrophic file-count
+          // explosion for any metadata layer. One shuffle keyed by
+          // (_bucket, subsplit) bounds output to ~StagedSubsplits files
+          // per bucket: the subsplit (an independent hash of the same
+          // key) keeps each bucket readable with intra-bucket
+          // parallelism even before row-group splitting kicks in.
           input
             .withColumn("_bucket",
               pmod(xxhash64(col(keyCol)), lit(numPartitions)))
+            .withColumn("_subsplit",
+              pmod(xxhash64(col(keyCol), lit(0x5eed)), lit(StagedSubsplits)))
+            .repartition(numPartitions * StagedSubsplits,
+              col("_bucket"), col("_subsplit"))
+            .drop("_subsplit")
             .write.mode("overwrite").partitionBy("_bucket").parquet(stagedPath)
         }
         spark.read.parquet(stagedPath)
