@@ -317,7 +317,8 @@ object Bench {
         "dedup_minhash_pairs", "dedup_clusters", "dedup_simhash",
         "dedup_embedding_pairs",
         "dedup_ngram_jaccard", "text_fingerprint",
-        "knn_bruteforce", "ann_lsh_topk", "ann_ivf_topk", "emb_quantize_int8",
+        "knn_bruteforce", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_auto",
+        "emb_quantize_int8",
         "mm_decode_features", "mm_meta_extract",
         "events_window", "q1_agg", "q2_join_topn", "q3_window_topk",
         "q4_setop", "q5_rollup").foreach { name =>

@@ -989,6 +989,13 @@ object SparkEntry {
     //      and independently recomputes assignment + probe-cell search. ----
     "ann_ivf_topk" -> ((s, dir) => ivfTopK(s, dir)),
 
+    // ---- similarity: IVF with AUTO-SIZED k (k = 0 -> clamp(sqrt(N), 8,
+    //      4096) from the table; 22 cells at verify scale) and a wider
+    //      probe set — the configuration a deployment actually runs,
+    //      driver-verified against the independently recomputed
+    //      assignment + probe search over the dumped auto-k codebook. ----
+    "ann_ivf_auto" -> ((s, dir) => ivfTopK(s, dir, k = 0, nprobe = 4)),
+
     // ---- similarity: int8 vector quantization (the ANN compression
     //      path at scale — 4x smaller candidate tables; per-vector
     //      symmetric scale q = round(x * 127 / max|x|)). Exploded to
@@ -1073,9 +1080,30 @@ object SparkEntry {
 
   /** Placeholder Verify substitutes with the absolute path of the
     * side-channel oracle inputs it dumps (generator truth table, trained
-    * IVF codebook) — kept OUTSIDE the driver's compare dir so they are
+    * IVF codebooks) — kept OUTSIDE the driver's compare dir so they are
     * oracle inputs, not extra query rows. */
   final val AuxDirToken = "__AUXDIR__"
+
+  /** IVF oracle template: assignment + multi-probe search recomputed in
+    * DuckDB from the codebook dumped under `$AuxDirToken/<sub>`. */
+  private def ivfOracleSql(sub: String, nprobe: Int): String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb " +
+      "FROM embeddings), " +
+      "cents AS (SELECT cent_id, CAST(cent AS DOUBLE[]) AS cent " +
+      s"FROM read_parquet('$AuxDirToken/$sub/*.parquet')), " +
+      "assign AS (SELECT e.vec_id, " +
+      "arg_max(cent_id, list_cosine_similarity(e.emb, cent)) AS cent_id " +
+      "FROM e CROSS JOIN cents GROUP BY e.vec_id), " +
+      "a AS (SELECT e.vec_id, e.emb, s.cent_id FROM e " +
+      "JOIN assign s ON e.vec_id = s.vec_id), " +
+      "q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0), " +
+      "probes AS (SELECT cent_id FROM cents, q " +
+      "ORDER BY list_cosine_similarity(q_emb, cent) DESC, cent_id " +
+      s"LIMIT $nprobe) " +
+      "SELECT a.vec_id, round(list_cosine_similarity(a.emb, q_emb), 4) " +
+      "AS cosine FROM a, q WHERE a.vec_id <> 0 " +
+      "AND a.cent_id IN (SELECT cent_id FROM probes) " +
+      "ORDER BY cosine DESC, vec_id LIMIT 10"
 
   lazy val oracleSql: Map[String, String] = Map(
     // keep == expected_keep on EVERY row is exact by construction
@@ -1373,29 +1401,15 @@ object SparkEntry {
         "ORDER BY cosine DESC, vec_id LIMIT 10"
     },
 
-    // cell assignment + multi-probe (nprobe = 2) search recomputed
-    // independently GIVEN the dumped trained codebook (the codebook is an
-    // oracle input; training determinism is sbt-tested). Probe cells =
-    // the query's top-nprobe centroids by cosine, ties → lowest cell id —
-    // the same ranking the Spark side computes on the driver.
-    "ann_ivf_topk" ->
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb " +
-        "FROM embeddings), " +
-        "cents AS (SELECT cent_id, CAST(cent AS DOUBLE[]) AS cent " +
-        s"FROM read_parquet('$AuxDirToken/ivf_centroids/*.parquet')), " +
-        "assign AS (SELECT e.vec_id, " +
-        "arg_max(cent_id, list_cosine_similarity(e.emb, cent)) AS cent_id " +
-        "FROM e CROSS JOIN cents GROUP BY e.vec_id), " +
-        "a AS (SELECT e.vec_id, e.emb, s.cent_id FROM e " +
-        "JOIN assign s ON e.vec_id = s.vec_id), " +
-        "q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0), " +
-        "probes AS (SELECT cent_id FROM cents, q " +
-        "ORDER BY list_cosine_similarity(q_emb, cent) DESC, cent_id " +
-        s"LIMIT $IvfNProbe) " +
-        "SELECT a.vec_id, round(list_cosine_similarity(a.emb, q_emb), 4) " +
-        "AS cosine FROM a, q WHERE a.vec_id <> 0 " +
-        "AND a.cent_id IN (SELECT cent_id FROM probes) " +
-        "ORDER BY cosine DESC, vec_id LIMIT 10"),
+    // cell assignment + multi-probe search recomputed independently GIVEN
+    // the dumped trained codebook (the codebook is an oracle input;
+    // training determinism is sbt-tested). Probe cells = the query's
+    // top-nprobe centroids by cosine, ties → lowest cell id — the same
+    // ranking the Spark side computes on the driver. Two exhibits share
+    // the template: explicit k = IvfK / nprobe = IvfNProbe, and the
+    // auto-sized k (codebook dumped separately) with nprobe = 4.
+    "ann_ivf_topk" -> ivfOracleSql("ivf_centroids", IvfNProbe),
+    "ann_ivf_auto" -> ivfOracleSql("ivf_centroids_auto", 4),
 
     "dedup_ngram_jaccard" -> {
       val base = nearDupBaseDuck

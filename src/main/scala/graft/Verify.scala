@@ -32,7 +32,8 @@ object Verify {
     // surface as a MISSING oracle input, never as last run's data.
     val auxKey = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val auxDir = new java.io.File(s"target/verify_aux/$auxKey").getAbsolutePath
-    Seq("pipeline_truth", "ivf_centroids").foreach { sub =>
+    Seq("pipeline_truth", "ivf_centroids", "ivf_centroids_auto")
+      .foreach { sub =>
       val d = Paths.get(auxDir, sub)
       if (Files.exists(d)) {
         import scala.jdk.CollectionConverters._
@@ -50,25 +51,34 @@ object Verify {
     // failure containment: a broken aux dump (e.g. the margin guard
     // firing after a testdata regen) must cost its OWN oracle rows, not
     // zero the whole round by aborting before the 36 query dumps
-    try {
-      import spark.implicits._
-      val cents = SparkEntry.ivfCentroids(spark, sfDir)
-      // dump-time near-tie guard: Spark's argmax and DuckDB's arg_max do
-      // not share float accumulation order, so a vector nearly equidistant
-      // to two trained centroids could assign differently per engine — a
-      // flaky parity diff, not a data bug. Fail loudly HERE instead.
-      val margin = SparkEntry.ivfMinMargin(spark, sfDir, cents)
-      require(margin > 1e-9,
-        f"IVF assignment near-tie: min best-vs-second centroid cosine gap " +
-          f"is $margin%.3g (<= 1e-9) — the dumped codebook could produce " +
-          "engine-dependent assignments; retrain with a different seed/k")
-      cents.zipWithIndex
-        .map { case (c, i) => (i.toLong, c) }.toDF("cent_id", "cent")
-        .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/ivf_centroids")
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[verify] IVF codebook dump failed: ${e.getMessage}")
-    }
+    // two codebooks: the explicit-k exhibit and the auto-sized k (k = 0
+    // -> clamp(sqrt(N), 8, 4096)); each carries the dump-time near-tie
+    // guard — Spark's argmax and DuckDB's arg_max do not share float
+    // accumulation order, so a vector nearly equidistant to two trained
+    // centroids could assign differently per engine (a flaky parity
+    // diff, not a data bug). Fail loudly HERE instead. Margins measured:
+    // 1e-3 at sf0.01 (both k), 6e-6 / 7e-7 at sf0.1 / sf1 auto-k —
+    // orders of magnitude above per-engine float drift (~1e-15).
+    Seq("ivf_centroids" -> SparkEntry.IvfK, "ivf_centroids_auto" -> 0)
+      .foreach { case (sub, k) =>
+        try {
+          import spark.implicits._
+          val cents = SparkEntry.ivfCentroids(spark, sfDir, k)
+          val margin = SparkEntry.ivfMinMargin(spark, sfDir, cents)
+          require(margin > 1e-9,
+            f"IVF assignment near-tie ($sub): min best-vs-second centroid " +
+              f"cosine gap is $margin%.3g (<= 1e-9) — the dumped codebook " +
+              "could produce engine-dependent assignments; retrain with a " +
+              "different seed/k")
+          cents.zipWithIndex
+            .map { case (c, i) => (i.toLong, c) }.toDF("cent_id", "cent")
+            .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/$sub")
+        } catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[verify] IVF codebook dump ($sub) failed: ${e.getMessage}")
+        }
+      }
 
     SparkEntry.queries.foreach { case (name, fn) =>
       // delete any stale dump FIRST: a failing query must show up as a
