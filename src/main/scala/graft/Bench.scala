@@ -34,9 +34,10 @@ import org.apache.spark.sql.SparkSession
   * the headline medians (contamination flagged by a signal independent
   * of this engine; a severely stolen window was measured producing
   * per-cycle ratios of 0.28-1.67 — unusable arithmetic); all cycles and
-  * their steal readings are still reported, and up to 4 extra cycles run
-  * when rejection leaves fewer than 3 clean ones. Per pass: scan →
-  * pipeline → noop write (forces all columns, no collect).
+  * their steal readings are still reported, and up to 2 extra cycles run
+  * by default (SPARK_GRAFT_BENCH_MAX_CYCLES-tunable) when rejection
+  * leaves fewer than 3 clean ones. Per pass: scan → pipeline → noop
+  * write (forces all columns, no collect).
   */
 object Bench {
 
@@ -341,8 +342,19 @@ object Bench {
       levels.map(l =>
         f""""docs_per_sec_local${l}_best":${BenchDocs / bests(l)}%.1f"""))
       .mkString(",")
+    // RUN-KEYED detail file alongside the rolling last_run.json: a later
+    // (smaller) bench invocation overwrites last_run.json, so "copy
+    // last_run.json to record a run" races with subsequent runs — it
+    // measurably swapped a 20k-doc smoke in for a committed 1M-doc run's
+    // evidence. The keyed file makes each configuration's latest detail
+    // stable, and the headline points at it.
+    val detailFile = {
+      val sfName = new java.io.File(sfDir).getName
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      s"BENCH/detail_${sfName}_${BenchDocs}.json"
+    }
     val headline =
-      f"""{"metric":"pipeline_e2e_local32","value":${times(32)}%.3f,"unit":"sec","sf":"$sfDir","n_docs":$BenchDocs,$dps,"cpu_eff_4_to_16":${median(cpuEff416)}%.3f,"cpu_eff_8_to_32":${median(cpuEff832)}%.3f,"scaling_efficiency_4_to_16":${median(eff416)}%.3f,"scaling_efficiency_8_to_32":${median(eff832)}%.3f,"eff_8_to_32_undisturbed":$eff832Undisturbed%.3f,"n_cycles_8_to_32_degraded":$n832Degraded,"bench_cycles":$cyclesRun,"cycles_used":${used.size},"detail":"BENCH/last_run.json"}"""
+      f"""{"metric":"pipeline_e2e_local32","value":${times(32)}%.3f,"unit":"sec","sf":"$sfDir","n_docs":$BenchDocs,$dps,"cpu_eff_4_to_16":${median(cpuEff416)}%.3f,"cpu_eff_8_to_32":${median(cpuEff832)}%.3f,"scaling_efficiency_4_to_16":${median(eff416)}%.3f,"scaling_efficiency_8_to_32":${median(eff832)}%.3f,"eff_8_to_32_undisturbed":$eff832Undisturbed%.3f,"n_cycles_8_to_32_degraded":$n832Degraded,"bench_cycles":$cyclesRun,"cycles_used":${used.size},"detail":"$detailFile"}"""
 
     // 4. headline per-operator queries at full parallelism on sfDir.
     // The scaling headline is PRINTED FIRST (it needs nothing from this
@@ -412,5 +424,6 @@ object Bench {
     println(headline)
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/last_run.json"), detail + "\n")
+    Files.writeString(Paths.get(detailFile), detail + "\n")
   }
 }

@@ -50,7 +50,7 @@ object Verify {
     }
     // failure containment: a broken aux dump (e.g. the margin guard
     // firing after a testdata regen) must cost its OWN oracle rows, not
-    // zero the whole round by aborting before the 36 query dumps
+    // zero the whole round by aborting before the 37 query dumps
     // two codebooks: the explicit-k exhibit and the auto-sized k (k = 0
     // -> clamp(sqrt(N), 8, 4096)); each carries the dump-time near-tie
     // guard — Spark's argmax and DuckDB's arg_max do not share float
