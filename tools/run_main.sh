@@ -1,0 +1,13 @@
+#!/bin/bash
+# Run a compiled main against the Spark jars without sbt (no build lock,
+# no sbt startup). Usage: tools/run_main.sh graft.BenchExtra kernels 20000
+cd /root/repo
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+exec java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-16g} \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"
