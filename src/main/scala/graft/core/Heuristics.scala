@@ -90,6 +90,12 @@ object Heuristics {
   def scanText(text: String): TextStats = {
     val st = new TextStats
     val n = text.length
+    val s = scratch.get()
+    // line segmentation is FUSED into the char pass (one pass fewer):
+    // '\n' hits no other branch, and the "..." two-char skip can never
+    // jump over a '\n' (only '.' chars are skipped)
+    s.newTable(math.max(16, n / 16))
+    var segStart = 0
     var i = 0
     while (i < n) {
       val c = text.charAt(i)
@@ -104,25 +110,16 @@ object Heuristics {
         } else st.sentences += 1
       } else if (c == '!' || c == '?' || c == '。') st.sentences += 1
       else if (c == '{') st.hasCurly = true
+      else if (c == '\n') {
+        statLine(text, segStart, i, st, s)
+        segStart = i + 1
+      }
       else if ((c == 'l' || c == 'L') && !st.hasLorem &&
           text.regionMatches(true, i, "lorem ipsum", 0, 11))
         st.hasLorem = true
       i += 1
     }
-
-    val s = scratch.get()
-
-    // line segments between '\n'
-    s.newTable(math.max(16, n / 16))
-    var segStart = 0
-    i = 0
-    while (i <= n) {
-      if (i == n || text.charAt(i) == '\n') {
-        statLine(text, segStart, i, st, s)
-        segStart = i + 1
-      }
-      i += 1
-    }
+    statLine(text, segStart, n, st, s) // final segment (old i == n case)
 
     // paragraph segments between literal "\n\n" (left-to-right,
     // non-overlapping — same segmentation as String.split("\n\n"))
@@ -203,53 +200,166 @@ object Heuristics {
     * every non-English page). */
   def basicRules(text: String, lang: String = "en"): Vector[RuleResult] = {
     val ws = Tokenizer.words(text)
-    basicRulesFrom(ws, ws.map(_.toLowerCase(Locale.ROOT)), lang,
-      scanText(text))
+    basicRulesWith(text, ws, lang)
   }
 
-  /** Back-compat form: tokenized words supplied, scan + lowercase done here. */
+  /** Back-compat form: tokenized words supplied, scan done here. */
   def basicRulesWith(text: String, ws: IndexedSeq[String],
-                     lang: String): Vector[RuleResult] =
-    basicRulesFrom(ws, ws.map(_.toLowerCase(Locale.ROOT)), lang,
-      scanText(text))
+                     lang: String): Vector[RuleResult] = {
+    val st = scanText(text)
+    val s = scratch.get()
+    basicRulesFrom(ws.length, scanWordsInto(ws, lang, s), st)
+  }
 
-  private def basicRulesFrom(ws: IndexedSeq[String],
-                             wsLower: IndexedSeq[String], lang: String,
-                             st: TextStats): Vector[RuleResult] = {
+  // ------------------------------------------------------------------
+  // Fused per-word scan
+  // ------------------------------------------------------------------
+
+  /** Scalar aggregates of the fused per-word pass. */
+  private final class WordAgg {
+    var lenSum = 0L       // original word lengths
+    var alphaWords = 0    // words containing any letter
+    var stopCount = 0     // DISTINCT stopwords present (per-language list)
+    var blockCount = 0    // blocklist occurrences (not distinct)
+  }
+
+  /** ONE char pass per word computing everything the rules need:
+    * the FNV hash and length of the LOWERCASED word (into `s.wHash` /
+    * `s.lenPrefix` for the n-gram rules — bit-identical to
+    * `NGramLM.hashWord(w.toLowerCase(ROOT))` by construction), the
+    * original length / any-letter flag (basic rules), and the
+    * stopword/blocklist membership probes — with NO per-word string
+    * allocation on the common path. The previous formulation allocated a
+    * lowered copy of every word (`ws.map(_.toLowerCase)`) and probed a
+    * String-keyed HashMap per word.
+    *
+    * Per-char lowering matches String.toLowerCase(Locale.ROOT) except for
+    * surrogate pairs, U+0130 (one-to-many) and U+03A3 (final sigma) —
+    * words containing those take the exact allocating path. Membership
+    * probes verify char equality on hash hit, so 64-bit collisions cannot
+    * change results. */
+  private def scanWordsInto(ws: IndexedSeq[String], lang: String,
+                            s: Scratch): WordAgg = {
     val n = ws.length
-
-    var lenSum = 0L
-    var alphaWords = 0
-    var i = 0
-    while (i < n) {
-      val w = ws(i)
-      lenSum += w.length
-      var j = 0
+    s.ensureWords(n)
+    val stopProbe = probeFor(lang)
+    val seen = new Array[Boolean](math.max(1, stopProbe.n))
+    val agg = new WordAgg
+    val wHash = s.wHash
+    val lenPrefix = s.lenPrefix
+    var wi = 0
+    while (wi < n) {
+      val w = ws(wi)
+      val wl = w.length
+      agg.lenSum += wl
+      var buf = s.ensureWbuf(wl)
       var alpha = false
-      while (!alpha && j < w.length) {
-        if (Character.isLetter(w.charAt(j))) alpha = true
-        j += 1
+      var danger = false
+      var h = 0xcbf29ce484222325L
+      var lowLen = 0
+      var i = 0
+      while (!danger && i < wl) {
+        val c = w.charAt(i)
+        var lc = c
+        if (c < 0x80) {
+          if (c >= 'A' && c <= 'Z') lc = (c + 32).toChar
+          if (!alpha && (lc >= 'a' && lc <= 'z')) alpha = true
+        } else if (Character.isSurrogate(c) || c == '\u0130' || c == '\u03a3') {
+          danger = true
+        } else {
+          lc = Character.toLowerCase(c)
+          if (!alpha && Character.isLetter(c)) alpha = true
+        }
+        if (!danger) {
+          h = (h ^ (lc & 0xff)) * 0x100000001b3L
+          h = (h ^ ((lc >> 8) & 0xff)) * 0x100000001b3L
+          buf(lowLen) = lc
+          lowLen += 1
+          i += 1
+        }
       }
-      if (alpha) alphaWords += 1
-      i += 1
+      if (danger) { // rare: exact reference path for this word
+        val lw = w.toLowerCase(Locale.ROOT)
+        h = NGramLM.hashWord(lw)
+        lowLen = lw.length
+        buf = s.ensureWbuf(lowLen)
+        lw.getChars(0, lowLen, buf, 0)
+        alpha = false
+        var j = 0
+        while (!alpha && j < wl) {
+          if (Character.isLetter(w.charAt(j))) alpha = true
+          j += 1
+        }
+      }
+      if (alpha) agg.alphaWords += 1
+      wHash(wi) = h
+      lenPrefix(wi + 1) = lenPrefix(wi) + lowLen
+      val sid = stopProbe.lookup(h, buf, lowLen)
+      if (sid >= 0 && !seen(sid)) { seen(sid) = true; agg.stopCount += 1 }
+      if (blockProbe.lookup(h, buf, lowLen) >= 0) agg.blockCount += 1
+      wi += 1
     }
+    agg
+  }
+
+  /** Test hook: the fused word scan's per-word outputs
+    * (loweredHash, loweredLen arrays + the scalar aggregates) for
+    * differential comparison against the reference formulation. */
+  private[core] def wordScanForTest(ws: IndexedSeq[String], lang: String)
+      : (Array[Long], Array[Int], Long, Int, Int, Int) = {
+    val s = scratch.get()
+    val agg = scanWordsInto(ws, lang, s)
+    val lens = Array.tabulate(ws.length)(i =>
+      s.lenPrefix(i + 1) - s.lenPrefix(i))
+    (s.wHash.take(ws.length), lens, agg.lenSum, agg.alphaWords,
+      agg.stopCount, agg.blockCount)
+  }
+
+  /** Open-addressed lowered-word membership table probed by the fused
+    * scan's (hash, char-buffer) pair — hash hit is VERIFIED by char
+    * equality, so results equal the previous String-keyed HashMap. */
+  private final class LowerWordProbe(words: Seq[String]) {
+    val n: Int = words.size
+    private val cap = Integer.highestOneBit(math.max(8, n) * 4)
+    private val mask = cap - 1
+    private val hashes = new Array[Long](cap)
+    private val ids = new Array[Int](cap)
+    private val strs = new Array[String](cap)
+    java.util.Arrays.fill(ids, -1)
+    words.zipWithIndex.foreach { case (w, id) =>
+      val h = NGramLM.hashWord(w)
+      var i = (NGramLM.combine(h, 0x9e3779b97f4a7c15L) & mask).toInt
+      while (ids(i) >= 0) i = (i + 1) & mask
+      hashes(i) = h; ids(i) = id; strs(i) = w
+    }
+    def lookup(h: Long, buf: Array[Char], len: Int): Int = {
+      var i = (NGramLM.combine(h, 0x9e3779b97f4a7c15L) & mask).toInt
+      while (ids(i) >= 0) {
+        if (hashes(i) == h) {
+          val sw = strs(i)
+          if (sw.length == len) {
+            var j = 0
+            while (j < len && sw.charAt(j) == buf(j)) j += 1
+            if (j == len) return ids(i)
+          }
+        }
+        i = (i + 1) & mask
+      }
+      -1
+    }
+  }
+
+  private val blockProbe = new LowerWordProbe(Blocklist.toSeq.sorted)
+
+  private def basicRulesFrom(n: Int, agg: WordAgg,
+                             st: TextStats): Vector[RuleResult] = {
+    val lenSum = agg.lenSum
+    val alphaWords = agg.alphaWords
+    val stopCount = agg.stopCount
+    val blockCount = agg.blockCount
     val meanWordLen = if (n == 0) 0.0 else lenSum.toDouble / n
     val symbolRatio = if (n == 0) 0.0 else st.symbolCount.toDouble / n
     val alphaRatio = if (n == 0) 0.0 else alphaWords.toDouble / n
-
-    // distinct stopwords present: probe the per-language index map per
-    // word and mark — no document word set is materialized
-    val idx = stopIdxFor(lang)
-    val seen = new Array[Boolean](idx.size)
-    var stopCount = 0
-    var blockCount = 0
-    i = 0
-    while (i < n) {
-      val id = idx.getOrDefault(wsLower(i), -1)
-      if (id >= 0 && !seen(id)) { seen(id) = true; stopCount += 1 }
-      if (Blocklist.contains(wsLower(i))) blockCount += 1
-      i += 1
-    }
 
     val hasLorem = if (st.hasLorem) 1.0 else 0.0
     val hasCurly = if (st.hasCurly) 1.0 else 0.0
@@ -277,19 +387,16 @@ object Heuristics {
   }
 
   // bounded: lang is caller data on real webtext (dirty values like
-  // "en-US", junk) — never let an unbounded key space pin one index map
+  // "en-US", junk) — never let an unbounded key space pin one probe table
   // per distinct string for the executor's lifetime
-  private val stopwordIdxCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashMap[String, Integer]]()
-  private def buildStopIdx(lang: String): java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer]()
-    SeedCorpus.stopwordsFor(lang).foreach(w => m.put(w, m.size))
-    m
-  }
-  private def stopIdxFor(lang: String): java.util.HashMap[String, Integer] =
-    if (stopwordIdxCache.size > 64 && !stopwordIdxCache.containsKey(lang))
-      buildStopIdx(lang) // uncached beyond the bound (per-call, GC'd)
-    else stopwordIdxCache.computeIfAbsent(lang, buildStopIdx(_))
+  private val stopwordProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, LowerWordProbe]()
+  private def buildStopProbe(lang: String): LowerWordProbe =
+    new LowerWordProbe(SeedCorpus.stopwordsFor(lang).toSeq)
+  private def probeFor(lang: String): LowerWordProbe =
+    if (stopwordProbeCache.size > 64 && !stopwordProbeCache.containsKey(lang))
+      buildStopProbe(lang) // uncached beyond the bound (per-call, GC'd)
+    else stopwordProbeCache.computeIfAbsent(lang, buildStopProbe(_))
 
   /** Line-shape rules (lines split on '\n'; blank lines excluded). */
   def lineRules(text: String): Vector[RuleResult] =
@@ -317,16 +424,32 @@ object Heuristics {
     *     count x chars / chars(full_text), capped at 1.0
     */
   def repetitionRules(text: String): Vector[RuleResult] =
-    repetitionRulesFrom(text,
-      Tokenizer.words(text).map(_.toLowerCase(Locale.ROOT)), scanText(text))
+    repetitionRulesWith(text,
+      Tokenizer.words(text).map(_.toLowerCase(Locale.ROOT)))
 
   def repetitionRulesWith(text: String,
-                          wordsLower: IndexedSeq[String]): Vector[RuleResult] =
-    repetitionRulesFrom(text, wordsLower, scanText(text))
+                          wordsLower: IndexedSeq[String]): Vector[RuleResult] = {
+    val st = scanText(text)
+    // pre-lowered words: hash directly (the fused-path arrays are filled
+    // by scanWordsInto instead)
+    val s = scratch.get()
+    val nW = wordsLower.length
+    s.ensureWords(nW)
+    var wi = 0
+    while (wi < nW) {
+      s.wHash(wi) = NGramLM.hashWord(wordsLower(wi))
+      s.lenPrefix(wi + 1) = s.lenPrefix(wi) + wordsLower(wi).length
+      wi += 1
+    }
+    repetitionRulesFrom(text, nW, st, s)
+  }
 
-  private def repetitionRulesFrom(text: String,
-                                  wordsLower: IndexedSeq[String],
-                                  st: TextStats): Vector[RuleResult] = {
+  /** N-gram/duplication rules over the PRE-FILLED `s.wHash`/`s.lenPrefix`
+    * arrays (one fused fill shared with the basic rules — see
+    * [[scanWordsInto]]). */
+  private def repetitionRulesFrom(text: String, nW: Int,
+                                  st: TextStats,
+                                  s: Scratch): Vector[RuleResult] = {
     val out = Vector.newBuilder[RuleResult]
 
     def frac(num: Long, den: Long): Double =
@@ -346,23 +469,12 @@ object Heuristics {
       dupParaCharFrac > MaxDupParaCharFraction, dupParaCharFrac,
       MaxDupParaCharFraction)
 
-    val ws = wordsLower
     val totalChars = math.max(1, text.length).toDouble
-    val s = scratch.get()
-
-    // hash + length of every word, computed once (9 n-gram passes reuse
-    // these primitive arrays — no per-pass re-hashing); prefix sums let
-    // the sliding window read each word once per k
-    val nW = ws.length
-    s.ensureWords(nW)
+    // hash + length of every word, computed once upstream (9 n-gram
+    // passes reuse these primitive arrays — no per-pass re-hashing);
+    // prefix sums let the sliding window read each word once per k
     val wHash = s.wHash
     val lenPrefix = s.lenPrefix
-    var wi = 0
-    while (wi < nW) {
-      wHash(wi) = NGramLM.hashWord(ws(wi))
-      lenPrefix(wi + 1) = lenPrefix(wi) + ws(wi).length
-      wi += 1
-    }
 
     def ngramStats(k: Int): (Long, Long, Double) = {
       // returns (maxCount, maxCountLen, dupCharMass)
@@ -428,12 +540,20 @@ object Heuristics {
     var nTouched = 0
     var wHash = new Array[Long](256)
     var lenPrefix = new Array[Int](257)
+    // lowered-word char buffer for the fused word scan's membership probes
+    var wbuf = new Array[Char](64)
 
     def ensureWords(n: Int): Unit =
       if (wHash.length < n) {
         wHash = new Array[Long](Integer.highestOneBit(n) * 2)
         lenPrefix = new Array[Int](wHash.length + 1)
       }
+
+    def ensureWbuf(n: Int): Array[Char] = {
+      if (wbuf.length < n)
+        wbuf = new Array[Char](Integer.highestOneBit(math.max(1, n)) * 2)
+      wbuf
+    }
 
     private var sizeGen = 0
 
@@ -553,10 +673,14 @@ object Heuristics {
 
   def evaluateWith(text: String, words: IndexedSeq[String],
                    lang: String): Vector[RuleResult] = {
-    val lower = words.map(_.toLowerCase(Locale.ROOT))
     val st = scanText(text)
-    basicRulesFrom(words, lower, lang, st) ++ lineRulesFrom(st) ++
-      repetitionRulesFrom(text, lower, st)
+    val s = scratch.get()
+    // ONE fused per-word pass feeds basic AND n-gram rules (previously:
+    // a lowered copy of every word, a String HashMap probe per word, and
+    // a separate re-hash pass for the n-gram rules)
+    val agg = scanWordsInto(words, lang, s)
+    basicRulesFrom(words.length, agg, st) ++ lineRulesFrom(st) ++
+      repetitionRulesFrom(text, words.length, st, s)
   }
 
   def keep(rules: Seq[RuleResult]): Boolean = !rules.exists(_.fired)

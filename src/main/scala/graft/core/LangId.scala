@@ -64,11 +64,11 @@ object LangId {
     x
   }
 
-  /** Accumulate hashed n-gram counts of padded lowercase `text`; returns
-    * total n-grams. Single pass: FNV-1a is prefix-incremental, so the
-    * 2/3/4-gram buckets at each position share one hash chain (identical
-    * bucket values to the per-size loops, 3x fewer char-hash ops). */
-  private def countNGrams(text: String, acc: Scratch): Long = {
+  /** Reference n-gram accumulation: materializes the padded lowercased
+    * text, then hashes. Kept as the exact fallback for texts containing
+    * chars whose String.toLowerCase mapping is not per-char (see
+    * [[countNGrams]]); bucket values are identical on both paths. */
+  private def countNGramsExact(text: String, acc: Scratch): Long = {
     val padded = new java.lang.StringBuilder(text.length + 2)
       .append('<').append(text.toLowerCase(Locale.ROOT)).append('>')
     val len = padded.length
@@ -88,6 +88,88 @@ object LangId {
       i += 1
     }
     total
+  }
+
+  /** A char whose presence forces the exact path: String.toLowerCase is
+    * NOT the per-char Character.toLowerCase for (a) surrogate pairs
+    * (supplementary-plane case mappings), (b) U+0130 İ (one-to-many:
+    * lowers to "i" + combining dot), (c) U+03A3 Σ (context-sensitive
+    * final sigma). Everything else maps per-char under Locale.ROOT. */
+  @inline private def lowerUnsafe(c: Char): Boolean =
+    Character.isSurrogate(c) || c == '\u0130' || c == '\u03a3'
+
+  /** Lowered char of the virtual padded view ([0] = '<', [len-1] = '>')
+    * as an Int, or -1 when the char at that position is [[lowerUnsafe]]. */
+  @inline private def lowerAt(text: String, i: Int, len: Int): Int = {
+    if (i == 0) '<'
+    else if (i == len - 1) '>'
+    else {
+      val c = text.charAt(i - 1)
+      if (c < 0x80) { if (c >= 'A' && c <= 'Z') c + 32 else c.toInt }
+      else if (lowerUnsafe(c)) -1
+      else Character.toLowerCase(c).toInt
+    }
+  }
+
+  /** Accumulate hashed n-gram counts of padded lowercase `text`; returns
+    * total n-grams. Single pass: FNV-1a is prefix-incremental, so the
+    * 2/3/4-gram buckets at each position share one hash chain (identical
+    * bucket values to the per-size loops, 3x fewer char-hash ops).
+    *
+    * Allocation-free on the common path: instead of materializing
+    * `'<' + text.toLowerCase + '>'` (two full-text copies per document),
+    * a rolling 4-char window of per-char-lowered padded chars feeds the
+    * hash chain. On the first char where per-char lowering could diverge
+    * from String.toLowerCase ([[lowerUnsafe]]) the accumulated state is
+    * reset and the exact path rerun — bucket counts are identical either
+    * way, so scores are bit-identical to the previous implementation. */
+  private def countNGrams(text: String, acc: Scratch): Long = {
+    val n = text.length
+    val len = n + 2 // virtual padded length
+    var total = 0L
+    // rolling window: w0..w3 = lowered padded chars at i..i+3 (-1 = bail
+    // to the exact path; 0 = beyond end, never read by the gram guards)
+    var w0 = lowerAt(text, 0, len)
+    var w1 = if (len > 1) lowerAt(text, 1, len) else 0
+    var w2 = if (len > 2) lowerAt(text, 2, len) else 0
+    var w3 = if (len > 3) lowerAt(text, 3, len) else 0
+    var i = 0
+    var bail = (w1 | w2 | w3) < 0
+    while (!bail && i < len - 1) {
+      var h = fnvStep(fnvStep(0x811c9dc5, w0.toChar), w1.toChar)
+      acc.add(h & BucketMask); total += 1 // 2-gram
+      if (i + 2 < len) {
+        h = fnvStep(h, w2.toChar)
+        acc.add(h & BucketMask); total += 1 // 3-gram
+        if (i + 3 < len) {
+          h = fnvStep(h, w3.toChar)
+          acc.add(h & BucketMask); total += 1 // 4-gram
+        }
+      }
+      i += 1
+      w0 = w1; w1 = w2; w2 = w3
+      if (i + 3 < len) {
+        w3 = lowerAt(text, i + 3, len)
+        if (w3 < 0) bail = true
+      }
+    }
+    if (bail) { // rare: discard partial state, rerun exactly
+      acc.reset()
+      countNGramsExact(text, acc)
+    } else total
+  }
+
+  /** Test hook: the (total, bucket→count) accumulation of the fast path
+    * vs the exact reference path — the two must be identical on every
+    * input (the bit-exactness claim of the round-6 alloc-free rewrite). */
+  private[core] def bucketCountsForTest(text: String,
+                                        exact: Boolean): (Long, Map[Int, Int]) = {
+    val sc = new Scratch
+    val total =
+      if (exact) countNGramsExact(text, sc) else countNGrams(text, sc)
+    val m = (0 until sc.nTouched)
+      .map(i => sc.touched(i) -> sc.counts(sc.touched(i))).toMap
+    (total, m)
   }
 
   /** Per-language log-prob profiles, built once per JVM. */

@@ -82,43 +82,12 @@ final class NGramLM private (
     var wi = 0
     while (wi < words.length) {
       val word = words(wi)
-      // one classification pass: any letters? any non-ASCII chars?
-      var hasLetter = false
-      var ascii = true
-      var i = 0
-      while (i < word.length) {
-        val c = word.charAt(i)
-        if (c < 128) {
-          val lc = (c | 0x20).toChar
-          if (lc >= 'a' && lc <= 'z') hasLetter = true
-        } else {
-          ascii = false
-          if (Character.isLetter(c)) hasLetter = true
-        }
-        i += 1
-      }
-      if (hasLetter) {
-        val w =
-          if (ascii) {
-            // FNV over the lowercased letter chars only (exact equivalent
-            // of filter(isLetter).toLowerCase for the ASCII range)
-            var h = 0xcbf29ce484222325L
-            i = 0
-            while (i < word.length) {
-              val c0 = word.charAt(i)
-              val lc = (c0 | 0x20).toChar
-              if (lc >= 'a' && lc <= 'z') {
-                h = (h ^ (lc & 0xff)) * 0x100000001b3L
-                h = (h ^ ((lc >> 8) & 0xff)) * 0x100000001b3L
-              }
-              i += 1
-            }
-            h
-          } else {
-            hashWord(word.filter(Character.isLetter).toLowerCase(Locale.ROOT))
-          }
-        sum += logProb(h1, h12, w)
-        h2 = h1; h1 = w; h12 = combine(h2, h1)
+      val h = NGramLM.normWordHash(word)
+      // h == 0 is ambiguous (no letters, or a true hash of 0 — one word
+      // in 2^64); the exact recheck keeps results identical either way
+      if (h != 0L || word.exists(Character.isLetter)) {
+        sum += logProb(h1, h12, h)
+        h2 = h1; h1 = h; h12 = combine(h2, h1)
         count += 1
       }
       wi += 1
@@ -146,6 +115,46 @@ object NGramLM {
     h
   }
 
+  /** FNV-1a hash of `word.filter(Character.isLetter).toLowerCase(ROOT)`,
+    * or 0L when the word contains no letters — the scorer's per-word
+    * normalization, fused into ONE char pass for ASCII words (the
+    * previous form read every char twice). A word containing any
+    * non-ASCII char takes the exact allocating path (rare on webtext);
+    * the partial ASCII accumulation is discarded (high byte of an ASCII
+    * letter is 0, so the chain is prefix-identical). NOTE the 0L
+    * no-letters sentinel collides with a true hash of 0L — callers that
+    * must distinguish recheck `word.exists(isLetter)` on 0L. */
+  private[core] def normWordHash(word: String): Long = {
+    var hasLetter = false
+    var ascii = true
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    val wl = word.length
+    while (ascii && i < wl) {
+      val c = word.charAt(i)
+      if (c < 128) {
+        val lc = (c | 0x20).toChar
+        if (lc >= 'a' && lc <= 'z') {
+          hasLetter = true
+          h = (h ^ (lc & 0xff)) * 0x100000001b3L
+          h = (h ^ ((lc >> 8) & 0xff)) * 0x100000001b3L
+        }
+      } else ascii = false
+      i += 1
+    }
+    if (!ascii) {
+      hasLetter = false
+      i = 0
+      while (!hasLetter && i < wl) {
+        if (Character.isLetter(word.charAt(i))) hasLetter = true
+        i += 1
+      }
+      if (hasLetter)
+        h = hashWord(word.filter(Character.isLetter).toLowerCase(Locale.ROOT))
+    }
+    if (hasLetter) h else 0L
+  }
+
   /** Order-sensitive combination of two 64-bit hashes. */
   def combine(a: Long, b: Long): Long = {
     var h = a ^ 0x9e3779b97f4a7c15L
@@ -154,12 +163,18 @@ object NGramLM {
     h ^ (h >>> 31)
   }
 
-  /** Minimal open-addressed Long→Int counter (power-of-two capacity). */
+  /** Minimal open-addressed Long→Int counter (power-of-two capacity).
+    *
+    * Layout: ONE interleaved array `slots` with `slots(2i) = key`,
+    * `slots(2i+1) = count` — a probe touches a single cache line instead
+    * of three (the previous keys/vals/used triple cost up to three cache
+    * misses per `get`, and the scoring hot path does 3-5 gets per word).
+    * Counts are always >= 1 once a key is added, so `slots(2i+1) != 0` IS
+    * the occupancy test — no separate `used` array. Contents and results
+    * are identical to the previous layout. */
   final class LongCounter(initialCapacity: Int) {
     private var cap = Integer.highestOneBit(math.max(16, initialCapacity) * 2)
-    private var keys = new Array[Long](cap)
-    private var vals = new Array[Int](cap)
-    private var used = new Array[Boolean](cap)
+    private var slots = new Array[Long](cap * 2)
     private var size = 0
 
     private def idx(k: Long, c: Int): Int = (combine(k, 0x5bd1e995L) & (c - 1)).toInt
@@ -167,28 +182,27 @@ object NGramLM {
     def add(k: Long, v: Int): Unit = {
       if (size * 4 >= cap * 3) grow()
       var i = idx(k, cap)
-      while (used(i) && keys(i) != k) i = (i + 1) & (cap - 1)
-      if (!used(i)) { used(i) = true; keys(i) = k; size += 1 }
-      vals(i) += v
+      while (slots(2 * i + 1) != 0 && slots(2 * i) != k) i = (i + 1) & (cap - 1)
+      if (slots(2 * i + 1) == 0) { slots(2 * i) = k; size += 1 }
+      slots(2 * i + 1) += v
     }
 
     def get(k: Long): Int = {
       var i = idx(k, cap)
-      while (used(i)) {
-        if (keys(i) == k) return vals(i)
+      while (slots(2 * i + 1) != 0) {
+        if (slots(2 * i) == k) return slots(2 * i + 1).toInt
         i = (i + 1) & (cap - 1)
       }
       0
     }
 
     private def grow(): Unit = {
-      val ok = keys; val ov = vals; val ou = used; val oc = cap
+      val os = slots; val oc = cap
       cap <<= 1
-      keys = new Array[Long](cap); vals = new Array[Int](cap)
-      used = new Array[Boolean](cap); size = 0
+      slots = new Array[Long](cap * 2); size = 0
       var i = 0
       while (i < oc) {
-        if (ou(i)) add(ok(i), ov(i))
+        if (os(2 * i + 1) != 0) add(os(2 * i), os(2 * i + 1).toInt)
         i += 1
       }
     }

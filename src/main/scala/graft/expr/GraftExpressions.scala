@@ -217,6 +217,37 @@ object Kernels {
   def htmlTextSafe(v: Array[Byte]): InternalRow = htmlTextSafeImpl(
     new String(v, java.nio.charset.StandardCharsets.UTF_8))
 
+  /** Blankness under the canonical [[graft.core.Blank.Chars]] set —
+    * exactly `length(trim(text, Chars)) == 0`, but allocation-free: the
+    * trim form copies nearly the whole text per row (UTF8String.trim
+    * materializes the trimmed copy) just to test emptiness; this walks
+    * the UTF-8 bytes and stops at the first non-blank code point. */
+  def isBlankText(v: UTF8String): Boolean = {
+    val n = v.numBytes()
+    var i = 0
+    while (i < n) {
+      val b = v.getByte(i) & 0xff
+      if (b < 0x80) {
+        if (!(b == 0x20 || (b >= 0x09 && b <= 0x0D) || (b >= 0x1C && b <= 0x1F)))
+          return false
+        i += 1
+      } else {
+        // decode one multibyte code point (Spark strings are valid UTF-8)
+        var cp = 0
+        var len = 0
+        if ((b & 0xE0) == 0xC0) { cp = b & 0x1F; len = 2 }
+        else if ((b & 0xF0) == 0xE0) { cp = b & 0x0F; len = 3 }
+        else { cp = b & 0x07; len = 4 }
+        if (i + len > n) return false // malformed tail: treat as non-blank
+        var j = 1
+        while (j < len) { cp = (cp << 6) | (v.getByte(i + j) & 0x3F); j += 1 }
+        if (!graft.core.Blank.isBlankCodePoint(cp)) return false
+        i += len
+      }
+    }
+    true
+  }
+
   def minhash(v: UTF8String): ArrayData =
     new GenericArrayData(Dedup.minHashSignature(v.toString))
 
@@ -482,6 +513,19 @@ case class HtmlTextSafeExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.expr.Kernels.htmlTextSafe($c)")
   override protected def withNewChildInternal(c: Expression): HtmlTextSafeExpr = copy(c)
   override def prettyName: String = "graft_html_text_safe"
+}
+
+/** `graft_is_blank(text)` — true iff every code point is in the canonical
+  * blank set ([[graft.core.Blank.Chars]]); the pipeline's P1 route
+  * predicate in allocation-free form (see [[Kernels.isBlankText]]). */
+case class IsBlankText(child: Expression) extends StringKernelCodegenExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any =
+    Kernels.isBlankText(v.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"graft.expr.Kernels.isBlankText($c)"
+  override protected def withNewChildInternal(c: Expression): IsBlankText = copy(c)
+  override def prettyName: String = "graft_is_blank"
 }
 
 /** `graft_word_count(text)` — tokenizer-contract word count (BIGINT).

@@ -27,6 +27,7 @@ object GraftFunctions {
     "graft_html_text_safe" -> { es => HtmlTextSafeExpr(es.head) },
     "graft_cosine" -> { es => CosineSim(es(0), es(1)) },
     "graft_shingles" -> { es => ShingleExpr(es.head) },
+    "graft_is_blank" -> { es => IsBlankText(es.head) },
     "graft_word_count" -> { es => WordCount(es.head) },
     "graft_minhash" -> { es => MinHashSig(es.head) },
     "graft_lsh_bands" -> { es => LshBands(es.head) },
@@ -57,6 +58,7 @@ object GraftFunctions {
   def cosine(a: Column, b: Column): Column =
     Shim.column(CosineSim(Shim.expression(a), Shim.expression(b)))
   def shingles(c: Column): Column = Shim.column(ShingleExpr(Shim.expression(c)))
+  def is_blank_text(c: Column): Column = Shim.column(IsBlankText(Shim.expression(c)))
   def word_count(c: Column): Column = Shim.column(WordCount(Shim.expression(c)))
   def minhash(c: Column): Column = Shim.column(MinHashSig(Shim.expression(c)))
   def lsh_bands(c: Column): Column = Shim.column(LshBands(Shim.expression(c)))

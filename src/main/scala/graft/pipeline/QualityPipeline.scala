@@ -35,15 +35,13 @@ object QualityPipeline {
     * whitespace (ASCII controls + every Unicode space, incl. NBSP and
     * the ideographic space U+3000 common on CJK pages), so an NBSP- or
     * ideographic-space-padded text field routes to html extraction
-    * exactly like the reference. ONE canonical constant shared by the
-    * pipeline route, the p1_branch_route query, and its DuckDB oracle
-    * -- trim(chars) on both sides, no regex-engine whitespace-class
+    * exactly like the reference. ONE canonical constant
+    * ([[graft.core.Blank.Chars]]) shared by the pipeline route (via the
+    * allocation-free graft_is_blank kernel), the p1_branch_route query,
+    * and its DuckDB oracle -- trim(chars) on the oracle sides, no regex-engine whitespace-class
     * parity games (Java and RE2 disagree on U+000B, and neither regex
     * whitespace class matches U+00A0 or U+3000). */
-  final val BlankChars: String =
-    " \t\n\u000B\f\r\u001C\u001D\u001E\u001F\u0085\u00A0" +
-      "\u1680\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007" +
-      "\u2008\u2009\u200A\u2028\u2029\u202F\u205F\u3000"
+  final val BlankChars: String = graft.core.Blank.Chars
 
   /** pages(url, warc_ts, html, text, lang) → output rows (SURVEY §1.4). */
   def apply(pages: DataFrame): DataFrame = {
@@ -57,12 +55,14 @@ object QualityPipeline {
       // present-but-blank text fields are common on real crawl data.
       // "whitespace" = the reference's str.strip() (ALL whitespace, not
       // just 0x20 — plain trim() would score a "\n\t" doc instead of
-      // routing it). Explicit trim char-set, NOT a regexp: this predicate
-      // runs per row on the pipeline hot path and a \s regexp costs
-      // regex-engine scans per document for nothing.
+      // routing it). Native graft_is_blank kernel, NOT trim-then-length:
+      // this predicate runs per row on the pipeline hot path, and
+      // UTF8String.trim materializes a trimmed COPY of (nearly) the whole
+      // text per row just to measure its length; the kernel walks bytes
+      // and stops at the first non-blank code point (same Blank.Chars
+      // set, equivalence property-tested in FusedKernelDiffSpec).
       .withColumn("needs_extract",
-        (col("text").isNull ||
-          length(trim(col("text"), BlankChars)) === 0) &&
+        (col("text").isNull || is_blank_text(col("text"))) &&
           col("html").isNotNull)
       // html extraction through the SAFE form: a failed extract on one
       // garbage page degrades per row (empty text + hx.error, scored as
