@@ -117,6 +117,13 @@ object BenchExtra {
           println(SparkEntry.queries(name)(s, sfDir)
             .queryExecution.explainString(
               org.apache.spark.sql.execution.FormattedMode))
+        if (sys.env.contains("GRAFT_EXPLAIN_FINAL")) {
+          // execute on the frame's own QueryExecution so the printed
+          // plan is the FINAL adaptive one (ReusedExchange visible)
+          val df = SparkEntry.queries(name)(s, sfDir)
+          df.foreach(_ => ())
+          println(df.queryExecution.executedPlan.toString)
+        }
         time(name, reps) {
           SparkEntry.queries(name)(s, sfDir)
             .write.format("noop").mode("overwrite").save()

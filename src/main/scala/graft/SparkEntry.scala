@@ -79,6 +79,31 @@ object SparkEntry {
     catch { case _: java.io.IOException => "absent" }
   }
 
+  /** Row count straight from the parquet footer metadata (no Spark job):
+    * the scale-derived constants (nearDupVariants, ivfAutoK) need only
+    * the table's row count, which the footers carry exactly — a real
+    * deployment reads it from table metadata the same way. Accepts a
+    * single file or a directory of part files; falls back to a Spark
+    * count if the footers are unreadable. Identical value to
+    * `spark.read.parquet(path).count()`. */
+  private def parquetFooterRowCount(path: String): Option[Long] =
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val f = new java.io.File(path)
+      val files: Seq[java.io.File] =
+        if (f.isDirectory)
+          f.listFiles().filter(x => x.isFile && x.getName.endsWith(".parquet"))
+            .toSeq
+        else Seq(f)
+      if (files.isEmpty) None
+      else Some(files.map { pf =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(pf.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum)
+    } catch { case _: Throwable => None }
+
   // sig lives in the VALUE (not the key): a superseded signature is
   // replaced in place, so repeated in-place regenerations stay one
   // entry per dir instead of growing the map (and the codebook cache,
@@ -89,7 +114,8 @@ object SparkEntry {
                             sig: String): Long =
     embRowsCache.compute(dir, (_, cached) =>
       if (cached != null && cached._1 == sig) cached
-      else (sig, s.read.parquet(s"$dir/embeddings.parquet").count()))._2
+      else (sig, parquetFooterRowCount(s"$dir/embeddings.parquet")
+        .getOrElse(s.read.parquet(s"$dir/embeddings.parquet").count())))._2
 
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Int), (String, Seq[Seq[Double]])]()
@@ -238,7 +264,8 @@ object SparkEntry {
     val sig = tableSig(dir, "documents")
     docRowsCache.compute(dir, (_, cached) =>
       if (cached != null && cached._1 == sig) cached
-      else (sig, s.read.parquet(s"$dir/documents.parquet").count()))._2
+      else (sig, parquetFooterRowCount(s"$dir/documents.parquet")
+        .getOrElse(s.read.parquet(s"$dir/documents.parquet").count())))._2
   }
 
   /** Near-dup variant count, SCALE-AWARE: every 25th doc becomes a shared
@@ -272,11 +299,21 @@ object SparkEntry {
     * (correctly) dropped it. Disjoint variants make the planted truth
     * identical at every scale: within-variant J = 1, cross-variant
     * J = 0. */
-  private def nearDupSql(v: Int): String =
-    s"case when doc_id % 25 = 0 then array_join(transform(" +
-      s"split('$nearDupBaseWords', ' '), " +
-      s"w -> concat(w, cast((doc_id div 25) % $v as string))), ' ') " +
-      "else text end"
+  /** HOF-free planting form: the variant tag is interleaved between the
+    * literal base words with a flat `concat` instead of
+    * `array_join(transform(split(...)))`. Byte-identical output (same
+    * words, same tag, same single-space joins — asserted in OpsSpec),
+    * but higher-order functions are CodegenFallback expressions in
+    * Spark, so the transform form both evaluated interpreted AND pushed
+    * the whole projection (including the banding kernel) out of
+    * whole-stage codegen for every dedup query. */
+  private def nearDupSql(v: Int): String = {
+    val tag = s"cast((doc_id div 25) % $v as string)"
+    val pieces = nearDupBaseWords.split(' ').zipWithIndex.map {
+      case (w, i) => (if (i == 0) s"'$w'" else s"' $w'") + s", $tag"
+    }.mkString(", ")
+    s"case when doc_id % 25 = 0 then concat($pieces) else text end"
+  }
 
   /** Placeholder Verify substitutes with the computed variant count. */
   final val NVarToken = "__NVAR__"
@@ -469,13 +506,36 @@ object SparkEntry {
           bandRowsRaw.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         })
+    // Candidate generation, restructured (round 6): the former
+    // groupBy → filter → join-back → band SELF-JOIN shape evaluated the
+    // banding kernel (shingles + 128 MinHashes per doc) FOUR times per
+    // run — each self-join side re-derived bandRows AND its own copy of
+    // the bucket aggregate, and AQE's stage cache did not unify the
+    // duplicated subtrees (verified on the final adaptive plan: zero
+    // ReusedExchange, four Generate(graft_lsh_bands) nodes). Now:
+    //   1. bucket counts come from ONE partial-aggregated groupBy
+    //      (skew-safe: a pathological hot band collapses map-side);
+    //   2. the gate keeps 2 <= bn <= 64 — a singleton band cannot form
+    //      a pair, so dropping bn == 1 cannot change the pair set, and
+    //      it makes the safe-band key set SMALL (only bands with a real
+    //      candidate pair survive);
+    //   3. within-band pairs come from collect_list + a bounded
+    //      in-list cross (two Generates), NOT a self-join: the lists
+    //      are capped at 64 elements BY THE PRE-FILTER, so the agg
+    //      buffer is bounded (the hot-band guard applies before any
+    //      list is built) and no second banding evaluation exists to
+    //      re-derive a join side.
+    // Net: 4 banding-kernel evaluations -> 2 (counts + candidate rows);
+    // same candidate pair set, same confirmed output (OpsSpec pair gates
+    // + driver oracle).
     val safeBuckets = bandRows.groupBy("band")
-      .agg(count(lit(1)).as("bn")).filter(col("bn") <= 64).select("band")
-    val safe = bandRows.join(safeBuckets, "band")
-    val cand = safe.as("a").join(safe.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= 64 && col("bn") >= 2).select("band")
+    val cand = bandRows.join(safeBuckets, "band")
+      .groupBy("band").agg(collect_list(col("doc_id")).as("ids"))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
       .distinct()
     val sh = d.select(col("doc_id"), shingles(col("t")).as("sh"))
     cand.join(sh.as("sa"), col("id_a") === col("sa.doc_id"))

@@ -165,8 +165,28 @@ object Kernels {
     GraftSchemas.rulesToCatalyst(
       Heuristics.evaluate(t.toString, l.toString))
 
-  def cosine(a: ArrayData, b: ArrayData): Double =
-    VecMath.cosine(a.toDoubleArray(), b.toDoubleArray())
+  /** Same accumulation order as [[VecMath.cosine]] (bit-identical
+    * results — differential-tested in FusedKernelDiffSpec), but reading
+    * the ArrayData elements in place: the previous `toDoubleArray()`
+    * form allocated TWO array copies per invocation, which on the
+    * pairwise exhibits (millions of cosine calls) was gigabytes of
+    * allocation churn per query. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = a.getDouble(i)
+      val yi = b.getDouble(i)
+      dot += xi * yi
+      nx += xi * xi
+      ny += yi * yi
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
 
   def shingles(v: UTF8String): ArrayData = {
     val text = v.toString
@@ -255,15 +275,16 @@ object Kernels {
     new GenericArrayData(Dedup.lshBandKeysGuarded(v.toString))
 
   def lshProject(v: ArrayData): Long = {
-    val x = v.toDoubleArray()
+    val len = v.numElements()
     var sig = 0L
     var b = 1
     while (b <= 16) {
       var s = 0.0
       var i = 1
-      while (i <= x.length) {
-        // weight in [-4, 4]; 1-based (b, i) to match the SQL mirror
-        s += x(i - 1) * ((2654435761L * i + 40503L * b) % 9 - 4).toDouble
+      while (i <= len) {
+        // weight in [-4, 4]; 1-based (b, i) to match the SQL mirror;
+        // elements read in place (no toDoubleArray copy per row)
+        s += v.getDouble(i - 1) * ((2654435761L * i + 40503L * b) % 9 - 4).toDouble
         i += 1
       }
       if (s > 0) sig |= (1L << (b - 1))
@@ -273,12 +294,13 @@ object Kernels {
   }
 
   def ivfAssign(a: ArrayData, cents: ArrayData): Long = {
-    val x = a.toDoubleArray()
     var best = 0L
     var bestSim = Double.NegativeInfinity
     var i = 0
+    // in-place cosine per centroid: the old form copied the row vector
+    // once and EVERY centroid per row (k+1 allocations per row)
     while (i < cents.numElements()) {
-      val sim = VecMath.cosine(x, cents.getArray(i).toDoubleArray())
+      val sim = cosine(a, cents.getArray(i))
       if (sim > bestSim) { bestSim = sim; best = i.toLong }
       i += 1
     }

@@ -69,6 +69,10 @@ object ConnectedComponents {
       .filter(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
       .filter(col("src") =!= col("dst"))
+      // distinct is load-bearing at scale: near-dup components are
+      // clique-heavy, and for a k-clique it collapses ~k^2/2 (dst, min)
+      // duplicates to ~k rows before the next phase's shuffles
+      // (measured round 6: dropping it did not help even at bench scale)
       .distinct()
   }
 
@@ -117,13 +121,17 @@ object ConnectedComponents {
     var phases = 0
     var converged = false
     while (!converged && phases < maxPhases) {
-      val (e1, _) = checkpointObserved(largeStar(e), signature)
-      val (e2, sig) = checkpointObserved(smallStar(e1), signature)
-      // e2 is materialized: the previous edge set and the large-star
-      // intermediate are dead — release their blocks now (orig is still
-      // needed by the verification join below)
+      // ONE composed job per iteration (round 6): large-star feeds
+      // small-star lazily — materializing the large-star intermediate
+      // bought nothing (it was consumed exactly once) and cost a full
+      // extra action + checkpoint + listener drain per iteration, which
+      // at the driver is half the loop's latency. Identical math and
+      // identical convergence sequence: the signature is observed on the
+      // same small-star output as before.
+      val (e2, sig) = checkpointObserved(smallStar(largeStar(e)), signature)
+      // e2 is materialized: the previous edge set is dead — release its
+      // blocks now (orig is still needed by the verification join below)
       if (e ne orig) releaseCheckpoint(e)
-      releaseCheckpoint(e1)
       val cnt = sig.getLong(0)
       val h = sig.getDecimal(1)
       converged = cnt == prevCnt &&

@@ -107,6 +107,22 @@ object FusedKernelDiffSpec extends Properties("graft.fusedkernels") {
       forAll(text) { t => fused(t) == ref(t) && Blank.isBlankString(t) == ref(t) }
   }
 
+  property("ArrayData-native cosine/ivf bit-identical to VecMath.cosine") = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val vec = Gen.chooseNum(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-10.0, 10.0)))
+    forAll(vec, vec) { (x, y) =>
+      val xa = x.toArray
+      val ya = y.toArray
+      val gx = new GenericArrayData(xa.map(java.lang.Double.valueOf(_): Any))
+      val gy = new GenericArrayData(ya.map(java.lang.Double.valueOf(_): Any))
+      // bit-level compare (cosine may legitimately be 0.0 vs -0.0 only if
+      // the implementations diverge — they must not)
+      java.lang.Double.doubleToRawLongBits(graft.expr.Kernels.cosine(gx, gy)) ==
+        java.lang.Double.doubleToRawLongBits(VecMath.cosine(xa, ya))
+    }
+  }
+
   property("evaluate stable and rule-distinct on hazard texts") =
     forAll(text, Gen.oneOf("en", "de", "zh")) { (t, lang) =>
       val rs = Heuristics.evaluate(t, lang)
