@@ -57,8 +57,12 @@ object Tokenizer {
     * objects only for documents that actually have PII matches — on clean
     * webtext that skips ~150 object allocations per document. */
   def tokenizeArrays(text: String): (String, Array[String], Array[Int]) = {
-    val ws = new ArrayBuffer[String]()
-    val starts = new ArrayBuffer[Int]()
+    // raw doubling arrays, not ArrayBuffers: ArrayBuffer[Int] boxes every
+    // start offset (an Integer per word on the hottest path in the
+    // engine), and toArray copies a second time
+    var ws = new Array[String](16)
+    var starts = new Array[Int](16)
+    var nW = 0
     val sb = new java.lang.StringBuilder(text.length)
     var i = 0
     val n = text.length
@@ -71,12 +75,19 @@ object Tokenizer {
         val w = text.substring(w0, i)
         if (sb.length > 0) sb.append(' ')
         sb.append(w)
-        ws += w
-        starts += start
+        if (nW == ws.length) {
+          ws = java.util.Arrays.copyOf(ws, nW * 2)
+          starts = java.util.Arrays.copyOf(starts, nW * 2)
+        }
+        ws(nW) = w
+        starts(nW) = start
+        nW += 1
         start += w.length + 1
       }
     }
-    (sb.toString, ws.toArray, starts.toArray)
+    (sb.toString,
+      if (nW == ws.length) ws else java.util.Arrays.copyOf(ws, nW),
+      if (nW == starts.length) starts else java.util.Arrays.copyOf(starts, nW))
   }
 
   /** Materialize the token objects for a tokenizeArrays result. */
