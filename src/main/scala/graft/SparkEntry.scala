@@ -25,8 +25,53 @@ object SparkEntry {
     GraftFunctions.register(s); s
   }
 
+  /** Parquet can only split at row-group boundaries, and the testdata
+    * tables are single-file single-row-group (DuckDB COPY default), so a
+    * bare scan runs EVERY per-row kernel on one core no matter the
+    * session parallelism (measured: heuristics_basic at sf1 spent
+    * ~2.5 s of single-threaded kernel time inside a local[32] session).
+    * The standard fix for an unsplittable input (guide §2.5) is to
+    * repartition right after the read — applied ADAPTIVELY from table
+    * metadata: only when the file layout's own parallelism (row-group
+    * count) cannot feed the session's cores. A real warehouse table has
+    * thousands of row groups and takes the no-exchange path; the
+    * repartition width is the session's defaultParallelism, never a
+    * constant. */
+  private val rowGroupsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+  private def parquetRowGroups(dir: String, table: String): Int = {
+    val sig = tableSig(dir, table)
+    rowGroupsCache.compute(s"$dir/$table", (_, cached) =>
+      if (cached != null && cached._1 == sig) cached
+      else (sig, try {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val f = new java.io.File(s"$dir/$table.parquet")
+        val files: Seq[java.io.File] =
+          if (f.isDirectory)
+            f.listFiles().filter(x => x.isFile && x.getName.endsWith(".parquet"))
+              .toSeq
+          else Seq(f)
+        files.map { pf =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(pf.getAbsolutePath), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRowGroups.size finally r.close()
+        }.sum
+      } catch { case _: Throwable => Int.MaxValue }))._2 // unknown: assume splittable
+  }
+
+  private def scanParallel(s: SparkSession, dir: String,
+                           table: String): DataFrame = {
+    val df = withFns(s).read.parquet(s"$dir/$table.parquet")
+    val cores = s.sparkContext.defaultParallelism
+    if (parquetRowGroups(dir, table) < cores) df.repartition(cores) else df
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
-    withFns(s).read.parquet(s"$dir/documents.parquet")
+    scanParallel(s, dir, "documents")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    scanParallel(s, dir, "embeddings")
 
   /** Size of the synthesized pages table the synth-backed queries use
     * (pipeline_full / langid_pred / perplexity_score); Verify dumps the
@@ -127,6 +172,12 @@ object SparkEntry {
     // new table's signature
     val sig = tableSig(dir, "embeddings")
     val kEff = if (k == 0) ivfAutoK(embeddingRows(s, dir, sig)) else k
+    // evict this dir's stale-signature entries first (round-5 advice):
+    // an in-place regeneration that changes the row count changes the
+    // auto-kEff, and the sig-in-value replacement alone would strand the
+    // old (dir, oldK) codebook (k x dim doubles) for the JVM lifetime
+    ivfCache.forEach((key, value) =>
+      if (key._1 == dir && value._1 != sig) ivfCache.remove(key, value))
     ivfCache.compute((dir, kEff), (_, cached) =>
       if (cached != null && cached._1 == sig) cached
       else {
@@ -156,7 +207,7 @@ object SparkEntry {
     * BEFORE dumping the codebook, failing loudly at dump time instead. */
   def ivfMinMargin(s: SparkSession, dir: String,
                    centroids: Seq[Seq[Double]]): Double = {
-    val emb = withFns(s).read.parquet(s"$dir/embeddings.parquet")
+    val emb = embs(s, dir)
       .withColumn("emb", col("embedding").cast("array<double>"))
     val cosines = array(centroids.map(c =>
       cosine(col("emb"), typedLit(c))): _*)
@@ -365,7 +416,7 @@ object SparkEntry {
     * mirrored in the oracle). */
   def ivfTopK(s: SparkSession, dir: String, k: Int = IvfK,
               nprobe: Int = IvfNProbe, topK: Int = 10): DataFrame = {
-    val emb = withFns(s).read.parquet(s"$dir/embeddings.parquet")
+    val emb = embs(s, dir)
       .withColumn("emb", col("embedding").cast("array<double>"))
     val centroids = ivfCentroids(s, dir, k)
     val assigned = emb.withColumn("cent_id",
@@ -418,10 +469,25 @@ object SparkEntry {
 
   private def rules(c: Column, lang: Column) = quality_rules(c, lang)
 
+  /** Rule index in the lineage array, derived FROM THE ENGINE (a probe
+    * evaluation) rather than hard-coded, so the queries cannot drift
+    * from the implementation's documented fixed rule order. Round-6
+    * rationale: the former name-matching form
+    * `filter(rs, r => r("rule") === name)(0)` is a higher-order
+    * function — CodegenFallback in Spark — so every rule reference
+    * (heuristics_basic has 15) ran an interpreted 26-element scan per
+    * row AND pushed the whole projection out of whole-stage codegen;
+    * measured 5.2 s → sub-second on the sf1 table for heuristics_basic.
+    * `rs[i].field` is a native GetArrayItem/GetStructField chain and
+    * selects the same element by the fixed order. */
+  private lazy val ruleIdx: Map[String, Int] =
+    graft.core.Heuristics.evaluate("probe text", "en").zipWithIndex
+      .map { case (r, i) => r.rule -> i }.toMap
+
   private def ruleValue(rs: Column, name: String): Column =
-    filter(rs, r => r("rule") === lit(name))(0)("value")
+    rs.getItem(ruleIdx(name))("value")
   private def ruleFired(rs: Column, name: String): Column =
-    filter(rs, r => r("rule") === lit(name))(0)("fired")
+    rs.getItem(ruleIdx(name))("fired")
 
   private val basicRuleNames = Seq("word_count_min", "word_count_max",
     "mean_word_length_min", "mean_word_length_max", "symbol_to_word_ratio",
@@ -489,7 +555,11 @@ object SparkEntry {
       explode(lsh_bands(col("t"))).as("band"))
     val bandRows =
       if (!persistBands) bandRowsRaw
-      else persistedBands.compute(dir, (_, cached) =>
+      // key includes the OWNING SESSION (round-5 advice): two live
+      // sessions alternately persisting the same dir would otherwise
+      // displace and unpersist each other's cache every call
+      else persistedBands.compute(
+        dir + "@" + java.lang.System.identityHashCode(s), (_, cached) =>
         // cache is per (dir, OWNING SESSION): a DataFrame persisted under
         // a since-stopped SparkContext must be replaced, not returned —
         // acting on it would throw "SparkContext has been shut down"
@@ -904,7 +974,7 @@ object SparkEntry {
 
     // ---- similarity: brute-force cosine top-k ----
     "knn_bruteforce" -> ((s, dir) => {
-      val emb = withFns(s).read.parquet(s"$dir/embeddings.parquet")
+      val emb = embs(s, dir)
         .withColumn("emb", col("embedding").cast("array<double>"))
       val q = emb.filter(col("vec_id") === 0)
         .select(col("emb").as("q_emb"))
@@ -923,7 +993,7 @@ object SparkEntry {
     //      the signature; with a single query vector the broadcast +
     //      popcount filter below is the same pruning. ----
     "ann_lsh_topk" -> ((s, dir) => {
-      val emb = withFns(s).read.parquet(s"$dir/embeddings.parquet")
+      val emb = embs(s, dir)
         .withColumn("emb", col("embedding").cast("array<double>"))
         .withColumn("sig", lsh_project(col("emb")))
       val q = emb.filter(col("vec_id") === 0)
@@ -1017,7 +1087,7 @@ object SparkEntry {
     // quadratic cost constant). The discovery path at scale is the
     // LSH/IVF bucketing below, never all-pairs.
     "dedup_embedding_pairs" -> ((s, dir) => {
-      val emb = withFns(s).read.parquet(s"$dir/embeddings.parquet")
+      val emb = embs(s, dir)
         .filter(col("vec_id") < EmbPairsCap)
       val asD = col("embedding").cast("array<double>")
       // DuckDB list lambdas index 1-based; mirror with (i + 1)
@@ -1061,7 +1131,7 @@ object SparkEntry {
     //      symmetric scale q = round(x * 127 / max|x|)). Exploded to
     //      scalar rows for the driver compare. ----
     "emb_quantize_int8" -> ((s, dir) => {
-      val emb = withFns(s).read.parquet(s"$dir/embeddings.parquet")
+      val emb = embs(s, dir)
         .withColumn("emb", col("embedding").cast("array<double>"))
         .withColumn("m", array_max(transform(col("emb"), x => abs(x))))
       emb.select(col("vec_id"), col("m"),

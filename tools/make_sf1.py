@@ -19,6 +19,12 @@ decade of scale the round-4 verdict asked for. Derivation rules:
   o_orderkey, l_partkey with p_partkey); other columns replicated.
 - events: event_id offset; everything else replicated (window aggregates
   just scale 10x).
+- EXCEPTION to the uniqueness rule (round-5 advice): NULL/blank texts are
+  replicated verbatim into replicas 1-9 (the word-suffix rule has nothing
+  to suffix), so "every text globally unique" holds only for non-blank
+  texts; the text_fingerprint oracle accordingly counts DISTINCT text,
+  and future uniqueness-assuming oracles must not be built on blank rows.
+  n_chars is NULL for NULL-text rows.
 - nation/region/supplier: copied (dimension tables; nation is the join
   target of the non-replicated c_nationkey).
 
