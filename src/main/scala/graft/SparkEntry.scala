@@ -37,11 +37,14 @@ object SparkEntry {
     * thousands of row groups and takes the no-exchange path; the
     * repartition width is the session's defaultParallelism, never a
     * constant. */
-  private val rowGroupsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
-  private def parquetRowGroups(dir: String, table: String): Int = {
+  private val footerStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, (Int, Long))]()
+  /** (rowGroups, rows) from the footers, cached per table signature;
+    * (MaxValue, 0) when unreadable — "assume splittable, unknown rows",
+    * which disables the repartition (never worse than the old plan). */
+  private def parquetFooterStats(dir: String, table: String): (Int, Long) = {
     val sig = tableSig(dir, table)
-    rowGroupsCache.compute(s"$dir/$table", (_, cached) =>
+    footerStatsCache.compute(s"$dir/$table", (_, cached) =>
       if (cached != null && cached._1 == sig) cached
       else (sig, try {
         val conf = new org.apache.hadoop.conf.Configuration()
@@ -51,27 +54,65 @@ object SparkEntry {
             f.listFiles().filter(x => x.isFile && x.getName.endsWith(".parquet"))
               .toSeq
           else Seq(f)
-        files.map { pf =>
+        var groups = 0
+        var rows = 0L
+        files.foreach { pf =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             new org.apache.hadoop.fs.Path(pf.getAbsolutePath), conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getRowGroups.size finally r.close()
-        }.sum
-      } catch { case _: Throwable => Int.MaxValue }))._2 // unknown: assume splittable
+          try { groups += r.getRowGroups.size; rows += r.getRecordCount }
+          finally r.close()
+        }
+        (groups, rows)
+      } catch { case _: Throwable => (Int.MaxValue, 0L) }))._2
   }
 
-  private def scanParallel(s: SparkSession, dir: String,
-                           table: String): DataFrame = {
+  /** Repartition-after-read pays off only when the single-task kernel
+    * time it parallelizes exceeds the exchange's fixed cost, so the
+    * gate is (a) the file layout cannot feed the cores (row-group
+    * count), AND (b) at least `minRowsPerCore` rows land on each core
+    * after the spread — the threshold encodes the caller's per-row cost
+    * class (0 for ms-class rows like pairwise cosine; a few hundred for
+    * the 10-100 µs kernel class). Measured at sf0.1: repartitioning the
+    * 5k-row table under a 10-100 µs kernel is break-even to slightly
+    * negative, while at sf1 (50k rows) it is a 3-6x win — the gate
+    * takes the win exactly where it exists. */
+  private def scanParallel(s: SparkSession, dir: String, table: String,
+                           minRowsPerCore: Long): DataFrame = {
     val df = withFns(s).read.parquet(s"$dir/$table.parquet")
     val cores = s.sparkContext.defaultParallelism
-    if (parquetRowGroups(dir, table) < cores) df.repartition(cores) else df
+    val (groups, rows) = parquetFooterStats(dir, table)
+    if (groups < cores && rows >= cores * minRowsPerCore)
+      df.repartition(cores)
+    else df
   }
 
+  /** Bare scan — for queries whose per-row work is cheap (projections,
+    * hashes, metadata math): there the repartition exchange costs more
+    * than the single-task scan it parallelizes (measured at sf0.1:
+    * +0.15-0.3 s per light query vs -0.5-1.5 s on the heavy ones). The
+    * per-row cost class of each operator is static, so the choice is
+    * made per query: heavy kernels read through [[docsPar]]/[[embsPar]],
+    * light ones through these. */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    scanParallel(s, dir, "documents")
+    withFns(s).read.parquet(s"$dir/documents.parquet")
 
   private def embs(s: SparkSession, dir: String): DataFrame =
-    scanParallel(s, dir, "embeddings")
+    withFns(s).read.parquet(s"$dir/embeddings.parquet")
+
+  /** Adaptive parallel scan — for queries dominated by heavy per-row
+    * kernels, where a single-row-group file would otherwise pin the
+    * kernel to one core (see [[scanParallel]]). `minRowsPerCore`
+    * defaults to the 10-100 µs kernel class (PII scan/scrub, quality
+    * rules, BPE); pass 0 for ms-class rows (pairwise cosine, banding
+    * exhibits) where even a few rows per core amortize the exchange. */
+  private def docsPar(s: SparkSession, dir: String,
+                      minRowsPerCore: Long = 512L): DataFrame =
+    scanParallel(s, dir, "documents", minRowsPerCore)
+
+  private def embsPar(s: SparkSession, dir: String,
+                      minRowsPerCore: Long = 0L): DataFrame =
+    scanParallel(s, dir, "embeddings", minRowsPerCore)
 
   /** Size of the synthesized pages table the synth-backed queries use
     * (pipeline_full / langid_pred / perplexity_score); Verify dumps the
@@ -540,7 +581,9 @@ object SparkEntry {
 
   private def minhashConfirmedPairs(s: SparkSession, dir: String,
                                     persistBands: Boolean = false): DataFrame = {
-    val d = docs(s, dir).withColumn("t",
+    // banding is ~100-200 us/row (shingles + 128 MinHashes): a lower
+    // amortization threshold than the default kernel class
+    val d = docsPar(s, dir, minRowsPerCore = 64L).withColumn("t",
       expr(nearDupSql(nearDupVariants(numDocs(s, dir)))))
     // The band keys feed three consumers (the bucket-size aggregation and
     // both sides of the band self-join) and the plan re-evaluates the
@@ -672,7 +715,7 @@ object SparkEntry {
 
     // ---- D1-D3: fused multi-pattern scan (per-type counts, planted) ----
     "d1_pii_counts" -> ((s, dir) => {
-      val d = docs(s, dir).withColumn("pii_text", expr(piiTextSql))
+      val d = docsPar(s, dir).withColumn("pii_text", expr(piiTextSql))
         .withColumn("ms", pii_extract(col("pii_text")))
       def cnt(t: String) = size(filter(col("ms"),
         m => m("pii_type") === lit(t))).cast("long")
@@ -689,7 +732,7 @@ object SparkEntry {
     //      from the already-sorted match array in the same project — no
     //      shuffle, single scan. ----
     "d2_pii_matches" -> ((s, dir) => {
-      val d = docs(s, dir).withColumn("pii_text", expr(piiTextSql))
+      val d = docsPar(s, dir).withColumn("pii_text", expr(piiTextSql))
         .select(col("doc_id"), pii_extract(col("pii_text")).as("ms"))
       d.select(col("doc_id"), col("ms"),
           posexplode(col("ms")).as(Seq("pos", "m")))
@@ -717,7 +760,7 @@ object SparkEntry {
     //      claim its 10-digit prefix, which independent per-pattern
     //      counting cannot mirror. ----
     "d3_pii_financial" -> ((s, dir) => {
-      val d = docs(s, dir).withColumn("fin_text", expr(finTextSql))
+      val d = docsPar(s, dir).withColumn("fin_text", expr(finTextSql))
         .withColumn("ms", pii_extract(col("fin_text")))
       def cnt(t: String) = size(filter(col("ms"),
         m => m("pii_type") === lit(t))).cast("long")
@@ -735,7 +778,7 @@ object SparkEntry {
     //      arbitrary natural text stays golden + property-tested
     //      (GoldenFixtureSpec, CoreProps idempotence). ----
     "j2_scrub" -> ((s, dir) =>
-      docs(s, dir).withColumn("pii_text", expr(scrubTextSql))
+      docsPar(s, dir).withColumn("pii_text", expr(scrubTextSql))
         .withColumn("p", pii_process(col("pii_text")))
         .select(col("doc_id"), col("p.scrubbed_text").as("scrubbed_text"),
           col("p.n_redacted").cast("long").as("n_redacted"))
@@ -793,7 +836,7 @@ object SparkEntry {
 
     // ---- Gopher/C4 heuristics: integer-exact observables ----
     "heuristics_basic" -> ((s, dir) => {
-      val d = docs(s, dir).withColumn("rs", rules(col("text"), lit("en")))
+      val d = docsPar(s, dir).withColumn("rs", rules(col("text"), lit("en")))
       val fired = basicRuleNames.map(n => ruleFired(col("rs"), n))
         .reduce(_ || _)
       d.select(col("doc_id"),
@@ -810,7 +853,9 @@ object SparkEntry {
     //      over planted markers — any occurrence drops the page, the
     //      lineage value carries the occurrence count ----
     "toxicity_blocklist" -> ((s, dir) => {
-      val d = docs(s, dir).withColumn("t", expr(toxTextSql))
+      // banding is ~100-200 us/row (shingles + 128 MinHashes): a lower
+    // amortization threshold than the default kernel class
+    val d = docsPar(s, dir, minRowsPerCore = 64L).withColumn("t", expr(toxTextSql))
         .withColumn("rs", rules(col("t"), lit("en")))
       d.select(col("doc_id"),
         ruleValue(col("rs"), "blocklist_hit").cast("long")
@@ -821,7 +866,7 @@ object SparkEntry {
 
     // ---- keep/drop aggregate per language ----
     "keep_stats" -> ((s, dir) => {
-      val d = docs(s, dir).withColumn("rs", rules(col("text"), lit("en")))
+      val d = docsPar(s, dir).withColumn("rs", rules(col("text"), lit("en")))
       val fired = basicRuleNames.map(n => ruleFired(col("rs"), n))
         .reduce(_ || _)
       d.groupBy(col("lang"))
@@ -964,7 +1009,7 @@ object SparkEntry {
     //      identical merge table as a literal replace chain), and the
     //      word/number/punct regex segmentation kept as a third view ----
     "text_token_counts" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
+      docsPar(s, dir).select(col("doc_id"),
         word_count(col("text")).as("ws_tokens"),
         bpe_count(col("text")).as("bpe_tokens"),
         size(regexp_extract_all(col("text"),
@@ -1087,7 +1132,7 @@ object SparkEntry {
     // quadratic cost constant). The discovery path at scale is the
     // LSH/IVF bucketing below, never all-pairs.
     "dedup_embedding_pairs" -> ((s, dir) => {
-      val emb = embs(s, dir)
+      val emb = embsPar(s, dir)
         .filter(col("vec_id") < EmbPairsCap)
       val asD = col("embedding").cast("array<double>")
       // DuckDB list lambdas index 1-based; mirror with (i + 1)
@@ -1145,7 +1190,7 @@ object SparkEntry {
 
     // ---- text analysis: composite quality score (oracled) ----
     "quality_score" -> ((s, dir) => {
-      val d = docs(s, dir).withColumn("rs", rules(col("text"), lit("en")))
+      val d = docsPar(s, dir).withColumn("rs", rules(col("text"), lit("en")))
       val wc = ruleValue(col("rs"), "word_count_min")
       val alpha = ruleValue(col("rs"), "alpha_word_ratio")
       val stop = ruleValue(col("rs"), "stopword_count")
