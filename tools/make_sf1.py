@@ -28,7 +28,8 @@ decade of scale the round-4 verdict asked for. Derivation rules:
 - nation/region/supplier: copied (dimension tables; nation is the join
   target of the non-replicated c_nationkey).
 
-Usage: python3 tools/make_sf1.py [outDir]   (default target/sf1)
+Usage: python3 tools/make_sf1.py [outDir] [R]   (default target/sf1, R=10;
+R=100 + target/sf10 gives the second measured decade)
 """
 import os
 import sys
@@ -37,7 +38,7 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "target/sf1"
-R = 10
+R = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
