@@ -293,14 +293,51 @@ object Kernels {
     sig
   }
 
+  /** Same accumulation order as [[VecMath.cosine]] with a primitive
+    * centroid side — used by [[ivfAssign]] below. */
+  private def cosineAD(a: ArrayData, y: Array[Double]): Double = {
+    val n = math.min(a.numElements(), y.length)
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = a.getDouble(i)
+      val yi = y(i)
+      dot += xi * yi
+      nx += xi * xi
+      ny += yi * yi
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  // The centroid table arrives as a LITERAL: the same ArrayData instance
+  // for every row of a query. Its nested GenericArrayData elements box
+  // every double, so reading them per row cost k x dim unboxing virtual
+  // calls per row (at auto-k = 447 on a 200k-vector table: ~5.7G boxed
+  // reads — measured 16 s for ann_ivf_auto at sf10). Convert ONCE per
+  // thread per literal (identity-keyed; a different codebook literal
+  // reconverts). Same doubles, same accumulation order — bit-identical.
+  private val ivfCentCache =
+    new ThreadLocal[(ArrayData, Array[Array[Double]])]()
+
   def ivfAssign(a: ArrayData, cents: ArrayData): Long = {
+    var cached = ivfCentCache.get()
+    if (cached == null || (cached._1 ne cents)) {
+      val k = cents.numElements()
+      val arr = new Array[Array[Double]](k)
+      var i = 0
+      while (i < k) { arr(i) = cents.getArray(i).toDoubleArray(); i += 1 }
+      cached = (cents, arr)
+      ivfCentCache.set(cached)
+    }
+    val cc = cached._2
     var best = 0L
     var bestSim = Double.NegativeInfinity
     var i = 0
-    // in-place cosine per centroid: the old form copied the row vector
-    // once and EVERY centroid per row (k+1 allocations per row)
-    while (i < cents.numElements()) {
-      val sim = cosine(a, cents.getArray(i))
+    while (i < cc.length) {
+      val sim = cosineAD(a, cc(i))
       if (sim > bestSim) { bestSim = sim; best = i.toLong }
       i += 1
     }
