@@ -156,14 +156,14 @@ object BenchExtra {
         val s = session(cpus)
         s.sparkContext.setLogLevel("WARN")
         val path = s"target/benchextra_pages_$nDocs"
-        if (sys.env.contains("GRAFT_EXPLAIN"))
-          println(graft.pipeline.QualityPipeline(s.read.parquet(path))
-            .queryExecution.explainString(
-              org.apache.spark.sql.execution.FormattedMode))
         if (!java.nio.file.Files.exists(
             java.nio.file.Paths.get(path, "_SUCCESS")))
           graft.model.PagesSynth.pages(s, nDocs, 64, validated = false)
             .write.mode("overwrite").parquet(path)
+        if (sys.env.contains("GRAFT_EXPLAIN"))
+          println(graft.pipeline.QualityPipeline(s.read.parquet(path))
+            .queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
         var r = 0
         while (r < 4) {
           val st0 = graft.core.StageTimers.snapshot()

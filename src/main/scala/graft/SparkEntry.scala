@@ -165,31 +165,6 @@ object SparkEntry {
     catch { case _: java.io.IOException => "absent" }
   }
 
-  /** Row count straight from the parquet footer metadata (no Spark job):
-    * the scale-derived constants (nearDupVariants, ivfAutoK) need only
-    * the table's row count, which the footers carry exactly — a real
-    * deployment reads it from table metadata the same way. Accepts a
-    * single file or a directory of part files; falls back to a Spark
-    * count if the footers are unreadable. Identical value to
-    * `spark.read.parquet(path).count()`. */
-  private def parquetFooterRowCount(path: String): Option[Long] =
-    try {
-      val conf = new org.apache.hadoop.conf.Configuration()
-      val f = new java.io.File(path)
-      val files: Seq[java.io.File] =
-        if (f.isDirectory)
-          f.listFiles().filter(x => x.isFile && x.getName.endsWith(".parquet"))
-            .toSeq
-        else Seq(f)
-      if (files.isEmpty) None
-      else Some(files.map { pf =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(pf.getAbsolutePath), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum)
-    } catch { case _: Throwable => None }
-
   // sig lives in the VALUE (not the key): a superseded signature is
   // replaced in place, so repeated in-place regenerations stay one
   // entry per dir instead of growing the map (and the codebook cache,
@@ -200,8 +175,11 @@ object SparkEntry {
                             sig: String): Long =
     embRowsCache.compute(dir, (_, cached) =>
       if (cached != null && cached._1 == sig) cached
-      else (sig, parquetFooterRowCount(s"$dir/embeddings.parquet")
-        .getOrElse(s.read.parquet(s"$dir/embeddings.parquet").count())))._2
+      else (sig, parquetFooterStats(dir, "embeddings") match {
+        // rows == 0 means the footers were unreadable — fall back
+        case (_, r) if r > 0 => r
+        case _ => s.read.parquet(s"$dir/embeddings.parquet").count()
+      }))._2
 
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Int), (String, Seq[Seq[Double]])]()
@@ -356,8 +334,11 @@ object SparkEntry {
     val sig = tableSig(dir, "documents")
     docRowsCache.compute(dir, (_, cached) =>
       if (cached != null && cached._1 == sig) cached
-      else (sig, parquetFooterRowCount(s"$dir/documents.parquet")
-        .getOrElse(s.read.parquet(s"$dir/documents.parquet").count())))._2
+      else (sig, parquetFooterStats(dir, "documents") match {
+        // rows == 0 means the footers were unreadable — fall back
+        case (_, r) if r > 0 => r
+        case _ => s.read.parquet(s"$dir/documents.parquet").count()
+      }))._2
   }
 
   /** Near-dup variant count, SCALE-AWARE: every 25th doc becomes a shared
@@ -601,7 +582,16 @@ object SparkEntry {
       // key includes the OWNING SESSION (round-5 advice): two live
       // sessions alternately persisting the same dir would otherwise
       // displace and unpersist each other's cache every call
-      else persistedBands.compute(
+      else {
+        // sweep dead-session entries first: session-scoped keys would
+        // otherwise retain one stopped-session DataFrame per session for
+        // the JVM lifetime (round-6 review finding)
+        val it = persistedBands.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.sparkSession.sparkContext.isStopped) it.remove()
+        }
+        persistedBands.compute(
         dir + "@" + java.lang.System.identityHashCode(s), (_, cached) =>
         // cache is per (dir, OWNING SESSION): a DataFrame persisted under
         // a since-stopped SparkContext must be replaced, not returned —
@@ -619,6 +609,7 @@ object SparkEntry {
           bandRowsRaw.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         })
+      }
     // Candidate generation, restructured (round 6): the former
     // groupBy → filter → join-back → band SELF-JOIN shape evaluated the
     // banding kernel (shingles + 128 MinHashes per doc) FOUR times per
@@ -853,9 +844,7 @@ object SparkEntry {
     //      over planted markers — any occurrence drops the page, the
     //      lineage value carries the occurrence count ----
     "toxicity_blocklist" -> ((s, dir) => {
-      // banding is ~100-200 us/row (shingles + 128 MinHashes): a lower
-    // amortization threshold than the default kernel class
-    val d = docsPar(s, dir, minRowsPerCore = 64L).withColumn("t", expr(toxTextSql))
+      val d = docsPar(s, dir).withColumn("t", expr(toxTextSql))
         .withColumn("rs", rules(col("t"), lit("en")))
       d.select(col("doc_id"),
         ruleValue(col("rs"), "blocklist_hit").cast("long")

@@ -1,9 +1,13 @@
 package graft.core
 
-/** THE single cosine implementation, shared by the `graft_cosine` kernel,
-  * IVF assignment (`graft_ivf_assign`), and the driver-side probe-cell
-  * ranking in SparkEntry. These call sites must stay bit-identical in
-  * accumulation order: the DuckDB oracle recomputes assignment + ranking
+/** The REFERENCE cosine implementation: the driver-side probe-cell
+  * ranking in SparkEntry calls it directly, and the two performance
+  * forms in graft.expr.Kernels (`cosine` over ArrayData for
+  * `graft_cosine`, and the ArrayData-x-primitive `cosineAD` inside
+  * `graft_ivf_assign`) replicate EXACTLY this accumulation order —
+  * differential-gated in FusedKernelDiffSpec (Kernels.cosine bit-compare
+  * and the ivfAssign-vs-argmax property). All call sites must stay
+  * bit-identical in accumulation order: the DuckDB oracle recomputes assignment + ranking
   * independently and the dump-time margin guard reasons about near-ties,
   * so a silent divergence between copies (e.g. a changed zero-norm
   * convention in one of them) would desynchronize assignment from

@@ -322,17 +322,30 @@ object Kernels {
   private val ivfCentCache =
     new ThreadLocal[(ArrayData, Array[Array[Double]])]()
 
+  private def decodeCentroids(cents: ArrayData): Array[Array[Double]] = {
+    val k = cents.numElements()
+    val arr = new Array[Array[Double]](k)
+    var i = 0
+    while (i < k) { arr(i) = cents.getArray(i).toDoubleArray(); i += 1 }
+    arr
+  }
+
   def ivfAssign(a: ArrayData, cents: ArrayData): Long = {
-    var cached = ivfCentCache.get()
-    if (cached == null || (cached._1 ne cents)) {
-      val k = cents.numElements()
-      val arr = new Array[Array[Double]](k)
-      var i = 0
-      while (i < k) { arr(i) = cents.getArray(i).toDoubleArray(); i += 1 }
-      cached = (cents, arr)
-      ivfCentCache.set(cached)
-    }
-    val cc = cached._2
+    // identity-keyed caching is only sound for GenericArrayData (the
+    // form literals take, with a stable boxed backing array) — other
+    // ArrayData implementations (ColumnarArray, UnsafeArrayData) may
+    // legally reuse one instance over different buffer contents per
+    // row, so those decode per call like the pre-cache code did
+    val cc =
+      if (cents.isInstanceOf[
+          org.apache.spark.sql.catalyst.util.GenericArrayData]) {
+        var cached = ivfCentCache.get()
+        if (cached == null || (cached._1 ne cents)) {
+          cached = (cents, decodeCentroids(cents))
+          ivfCentCache.set(cached)
+        }
+        cached._2
+      } else decodeCentroids(cents)
     var best = 0L
     var bestSim = Double.NegativeInfinity
     var i = 0

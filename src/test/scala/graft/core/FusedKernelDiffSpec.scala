@@ -123,6 +123,28 @@ object FusedKernelDiffSpec extends Properties("graft.fusedkernels") {
     }
   }
 
+  property("ivfAssign == argmax over VecMath.cosine (thread-cached centroids)") = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def ga(x: Array[Double]) =
+      new GenericArrayData(x.map(java.lang.Double.valueOf(_): Any))
+    val vec = Gen.chooseNum(1, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-5.0, 5.0)).map(_.toArray))
+    forAll(vec, Gen.chooseNum(1, 6).flatMap(k => Gen.listOfN(k, vec))) {
+      (x, cents) =>
+        val centsAD = new GenericArrayData(cents.map(ga(_): Any).toArray)
+        val got = graft.expr.Kernels.ivfAssign(ga(x), centsAD)
+        // reference: first index of the max cosine (ties -> lowest)
+        var best = 0L
+        var bestSim = Double.NegativeInfinity
+        cents.zipWithIndex.foreach { case (c, i) =>
+          val s = VecMath.cosine(x, c)
+          if (s > bestSim) { bestSim = s; best = i.toLong }
+        }
+        // call twice: the second goes through the thread-local cache hit
+        got == best && graft.expr.Kernels.ivfAssign(ga(x), centsAD) == best
+    }
+  }
+
   property("evaluate stable and rule-distinct on hazard texts") =
     forAll(text, Gen.oneOf("en", "de", "zh")) { (t, lang) =>
       val rs = Heuristics.evaluate(t, lang)
