@@ -566,15 +566,18 @@ object SparkEntry {
     // amortization threshold than the default kernel class
     val d = docsPar(s, dir, minRowsPerCore = 64L).withColumn("t",
       expr(nearDupSql(nearDupVariants(numDocs(s, dir)))))
-    // The band keys feed three consumers (the bucket-size aggregation and
-    // both sides of the band self-join) and the plan re-evaluates the
-    // banding kernel per consumer (no ReusedExchange across the
-    // subtrees). Measured trade-off: at verify scale the recompute is
-    // CHEAPER than materializing (an eager localCheckpoint of bandRows +
-    // shingles made the query 3-4x slower — RDD-block round-trip and lost
-    // whole-stage codegen dominate); on a 100 TB run, where the scan is
-    // the expensive part, the right lever is persist(MEMORY_AND_DISK) on
-    // bandRows — exposed as `persistBands` (see [[dedupMinhashPairs]]).
+    // Since the single-pass candidate generation below, the band keys
+    // have exactly ONE consumer (the count+capped-list aggregation), so
+    // the banding kernel is evaluated once per run. `persistBands` — the
+    // 100 TB lever from round 5, when the plan had 2-4 consumers — is
+    // kept API- and result-compatible (pair-equality gated in OpsSpec)
+    // but now buys nothing structural: it trades one in-memory
+    // materialization for re-reading the scan, which only pays if a
+    // caller composes this frame into a plan with additional consumers.
+    // (Historically measured: an eager localCheckpoint here was 3-4x
+    // SLOWER at verify scale — RDD-block round-trip and lost whole-stage
+    // codegen dominate — which is why the lever is opt-in persist, not
+    // checkpoint.)
     val bandRowsRaw = d.select(col("doc_id"),
       explode(lsh_bands(col("t"))).as("band"))
     val bandRows =
@@ -610,37 +613,44 @@ object SparkEntry {
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         })
       }
-    // Candidate generation, restructured (round 6): the former
-    // groupBy → filter → join-back → band SELF-JOIN shape evaluated the
-    // banding kernel (shingles + 128 MinHashes per doc) FOUR times per
-    // run — each self-join side re-derived bandRows AND its own copy of
-    // the bucket aggregate, and AQE's stage cache did not unify the
-    // duplicated subtrees (verified on the final adaptive plan: zero
-    // ReusedExchange, four Generate(graft_lsh_bands) nodes). Now:
-    //   1. bucket counts come from ONE partial-aggregated groupBy
-    //      (skew-safe: a pathological hot band collapses map-side);
-    //   2. the gate keeps 2 <= bn <= 64 — a singleton band cannot form
-    //      a pair, so dropping bn == 1 cannot change the pair set, and
-    //      it makes the safe-band key set SMALL (only bands with a real
-    //      candidate pair survive);
-    //   3. within-band pairs come from collect_list + a bounded
-    //      in-list cross (two Generates), NOT a self-join: the lists
-    //      are capped at 64 elements BY THE PRE-FILTER, so the agg
-    //      buffer is bounded (the hot-band guard applies before any
-    //      list is built) and no second banding evaluation exists to
-    //      re-derive a join side.
-    // Net: 4 banding-kernel evaluations -> 2 (counts + candidate rows);
-    // same candidate pair set, same confirmed output (OpsSpec pair gates
-    // + driver oracle).
-    val safeBuckets = bandRows.groupBy("band")
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= 64 && col("bn") >= 2).select("band")
-    val cand = bandRows.join(safeBuckets, "band")
-      .groupBy("band").agg(collect_list(col("doc_id")).as("ids"))
+    // Candidate generation, single-pass (round 6, second pass): ONE
+    // aggregation computes both the EXACT bucket size and the capped
+    // member list via [[graft.expr.BoundedIds]]. History: round 5's
+    // shape evaluated the banding kernel FOUR times (band self-join);
+    // the first round-6 restructure cut that to two (a count aggregation
+    // + broadcast join back onto a second banding evaluation feeding
+    // collect_list — plan preserved in plans/r06/dedup_minhash_pairs_mid
+    // .txt); this shape cuts it to ONE evaluation and ONE shuffle:
+    //   1. `count(*)` stays a native partial-aggregated count — the
+    //      2 <= bn <= 64 gate is decided on the exact count, unchanged
+    //      (a singleton band cannot form a pair; a hot band is dropped);
+    //   2. the member list is capped AT THE AGGREGATE (65 > 64): a kept
+    //      band (bn <= 64) provably never trims — its list is complete —
+    //      while a hot band costs at most 65 longs per partial buffer
+    //      and per map task on the wire, the same skew bound the
+    //      two-pass shape bought with its pre-filter;
+    //   3. within-band pairs come from the same bounded in-list cross
+    //      (two Generates over <= 64-element lists).
+    // Same candidate pair set, same confirmed output (OpsSpec pair gates
+    // incl. the 1000-identical-doc skew test + driver oracle at four
+    // scale points).
+    val cand = bandRows.groupBy("band")
+      .agg(count(lit(1)).as("bn"), bounded_ids(col("doc_id"), 65).as("ids"))
+      .filter(col("bn") <= 64 && col("bn") >= 2)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
+    // Confirm stage: tried and REVERTED (round 6, measured interleaved
+    // A/B at sf0.1 AND sf1) — restructuring the two-sided join into
+    // explode-sides -> ONE sh join -> per-pair first(when) pivot removes
+    // one full-table shingle evaluation but must SHUFFLE every candidate
+    // row with its shingle array through an extra exchange + sort-agg;
+    // medians regressed ~8% at sf0.1 and ~15-25% at sf1. The two-sided
+    // shape broadcasts the (small) pair list instead, so the heavy
+    // arrays never move: re-evaluating the shingle kernel in place beats
+    // shuffling its output — the same trade the banding stage resolves
+    // the other way, where the aggregation is unavoidable anyway.
     val sh = d.select(col("doc_id"), shingles(col("t")).as("sh"))
     cand.join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("id_b") === col("sb.doc_id"))

@@ -35,7 +35,16 @@ object GraftFunctions {
     "graft_fingerprint" -> { es => FingerprintExpr(es.head) },
     "graft_lsh_project" -> { es => LshProject(es.head) },
     "graft_ivf_assign" -> { es => IvfAssign(es(0), es(1)) },
-    "graft_bpe_count" -> { es => BpeCount(es.head) })
+    "graft_bpe_count" -> { es => BpeCount(es.head) },
+    // aggregate: the analyzer wraps a bare AggregateFunction from the
+    // registry in an AggregateExpression (same path as the built-ins)
+    "graft_bounded_ids" -> { es =>
+      BoundedIds(es(0), es(1).eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_bounded_ids cap must be an integer literal, got $other")
+      }) })
 
   /** Register on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =
@@ -68,6 +77,8 @@ object GraftFunctions {
   def ivf_assign(emb: Column, cents: Column): Column =
     Shim.column(IvfAssign(Shim.expression(emb), Shim.expression(cents)))
   def bpe_count(c: Column): Column = Shim.column(BpeCount(Shim.expression(c)))
+  def bounded_ids(c: Column, cap: Int): Column =
+    Shim.column(BoundedIds(Shim.expression(c), cap).toAggregateExpression())
 }
 
 /** `SparkSessionExtensions` hook: build sessions with

@@ -97,4 +97,36 @@ class ExprSpec extends AnyFunSuite {
     assert(out(1).getString(1) == "no tags at all")
     assert(out(2).getString(1) == "")
   }
+
+  test("graft_bounded_ids: exact count, complete list <= cap, hot key " +
+    "capped across many partitions, SQL-registered") {
+    import graft.expr.GraftFunctions.bounded_ids
+    // 3 keys over 16 partitions: a 2-member band, an exactly-64-member
+    // band (the gate's boundary — must stay COMPLETE), and a 1000-member
+    // hot band (must be trimmed at cap without affecting the count)
+    val rows = Seq.tabulate(2)(i => (1L, 100L + i)) ++
+      Seq.tabulate(64)(i => (2L, 200L + i)) ++
+      Seq.tabulate(1000)(i => (3L, 300L + i))
+    val df = spark.createDataFrame(rows).toDF("band", "doc_id")
+      .repartition(16)
+    val got = df.groupBy("band")
+      .agg(count(lit(1)).as("bn"), bounded_ids(col("doc_id"), 65).as("ids"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(got(1L)._1 == 2L && got(1L)._2.sorted == (100L to 101L))
+    // kept-band invariant: bn <= 64 < cap => list complete regardless of
+    // how the 64 rows were split across partial buffers
+    assert(got(2L)._1 == 64L && got(2L)._2.sorted == (200L until 264L))
+    // hot-key skew guard: exact count, list capped at 65 distinct members
+    assert(got(3L)._1 == 1000L && got(3L)._2.length == 65 &&
+      got(3L)._2.distinct.length == 65 &&
+      got(3L)._2.forall(id => id >= 300L && id < 1300L))
+    // registry path (analyzer wraps the bare AggregateFunction)
+    val viaSql = spark.createDataFrame(rows).toDF("band", "doc_id")
+      .createOrReplaceTempView("bids_t")
+    val sq = spark.sql("SELECT band, count(1) bn, " +
+      "graft_bounded_ids(doc_id, 65) ids FROM bids_t GROUP BY band")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2).length).toMap
+    assert(sq(1L) == 2 && sq(2L) == 64 && sq(3L) == 65)
+  }
 }
