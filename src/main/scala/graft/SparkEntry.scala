@@ -1177,7 +1177,12 @@ object SparkEntry {
     "emb_quantize_int8" -> ((s, dir) => {
       val emb = embs(s, dir)
         .withColumn("emb", col("embedding").cast("array<double>"))
-        .withColumn("m", array_max(transform(col("emb"), x => abs(x))))
+        // native kernel for max|x| — the HOF form `array_max(transform(
+        // emb, abs))` ran its lambda interpreted per element (round-6
+        // second pass; equality gated by the ExprSpec differential and
+        // the unchanged DuckDB oracle, which still computes
+        // list_max(list_transform(...)))
+        .withColumn("m", absmax(col("emb")))
       emb.select(col("vec_id"), col("m"),
           posexplode(col("emb")).as(Seq("dim", "x")))
         .select(col("vec_id"), col("dim").cast("long").as("dim"),

@@ -293,6 +293,23 @@ object Kernels {
     sig
   }
 
+  /** max(abs(x)) over a NON-EMPTY double array — exactly
+    * `array_max(transform(a, x -> abs(x)))` for null-free elements
+    * (max is order-independent; abs values are >= 0.0 or NaN, and
+    * `Double.compare` keeps NaN greatest like Spark's ordering, so the
+    * 0.0 seed is exact). The caller maps the empty array to null. */
+  def absMax(a: ArrayData): Double = {
+    val n = a.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(a.getDouble(i))
+      if (java.lang.Double.compare(v, m) > 0) m = v
+      i += 1
+    }
+    m
+  }
+
   /** Same accumulation order as [[VecMath.cosine]] with a primitive
     * centroid side — used by [[ivfAssign]] below. */
   private def cosineAD(a: ArrayData, y: Array[Double]): Double = {
@@ -506,6 +523,35 @@ case class QualityRules(left: Expression, right: Expression)
   * costs ~10µs/pair at 64 dims; this is ~100ns — the difference between a
   * feasible and an infeasible pairwise stage (measured 135s → seconds on
   * a 13.5M-pair sweep). */
+/** `graft_absmax(emb)` — max(abs(x)) of ARRAY<DOUBLE> (DOUBLE; null for
+  * null input or the empty array, matching `array_max` on an empty
+  * `transform` result). Native whole-stage-codegen form of
+  * `array_max(transform(emb, x -> abs(x)))`, whose per-element lambda
+  * is CodegenFallback and evaluated interpreted in the int8-quantization
+  * scan. Element nulls are not expected (the input is a cast of the
+  * parquet float vectors) — same contract as [[CosineSim]]. */
+case class AbsMax(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() == 0) null else Kernels.absMax(a)
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |if ($c.numElements() == 0) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = graft.expr.Kernels.absMax($c);
+      |}""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): AbsMax = copy(c)
+  override def prettyName: String = "graft_absmax"
+}
+
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryKernelCodegenExpression {
   override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))

@@ -26,6 +26,7 @@ object GraftFunctions {
     "graft_html_text" -> { es => HtmlTextExpr(es.head) },
     "graft_html_text_safe" -> { es => HtmlTextSafeExpr(es.head) },
     "graft_cosine" -> { es => CosineSim(es(0), es(1)) },
+    "graft_absmax" -> { es => AbsMax(es.head) },
     "graft_shingles" -> { es => ShingleExpr(es.head) },
     "graft_is_blank" -> { es => IsBlankText(es.head) },
     "graft_word_count" -> { es => WordCount(es.head) },
@@ -66,6 +67,7 @@ object GraftFunctions {
     Shim.column(HtmlTextSafeExpr(Shim.expression(c)))
   def cosine(a: Column, b: Column): Column =
     Shim.column(CosineSim(Shim.expression(a), Shim.expression(b)))
+  def absmax(c: Column): Column = Shim.column(AbsMax(Shim.expression(c)))
   def shingles(c: Column): Column = Shim.column(ShingleExpr(Shim.expression(c)))
   def is_blank_text(c: Column): Column = Shim.column(IsBlankText(Shim.expression(c)))
   def word_count(c: Column): Column = Shim.column(WordCount(Shim.expression(c)))

@@ -129,4 +129,28 @@ class ExprSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](2).length).toMap
     assert(sq(1L) == 2 && sq(2L) == 64 && sq(3L) == 65)
   }
+
+  test("graft_absmax == array_max(transform(abs)) — differential incl. " +
+    "empty/null/edge values") {
+    val rnd = new scala.util.Random(42)
+    val arrays: Seq[Option[Seq[Double]]] =
+      Seq(None, Some(Seq.empty[Double]), Some(Seq(0.0)), Some(Seq(-0.0)),
+        Some(Seq(-1.5, 1.5)), Some(Seq(Double.MinPositiveValue, -1e308)),
+        Some(Seq(Double.NegativeInfinity, 3.0))) ++
+        Seq.fill(50)(Some(Seq.fill(1 + rnd.nextInt(200))(
+          (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(20) - 10))))
+    val df = arrays.zipWithIndex
+      .map { case (a, i) => (i.toLong, a) }.toDF("id", "emb")
+    val out = df.select(col("id"),
+      graft.expr.GraftFunctions.absmax(col("emb")).as("k"),
+      array_max(transform(col("emb"), x => abs(x))).as("h"))
+      .collect()
+    out.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null mismatch at ${r.get(0)}")
+      if (!r.isNullAt(1))
+        assert(java.lang.Double.compare(r.getDouble(1), r.getDouble(2)) == 0,
+          s"value mismatch at ${r.get(0)}: ${r.getDouble(1)} vs " +
+            s"${r.getDouble(2)}")
+    }
+  }
 }
