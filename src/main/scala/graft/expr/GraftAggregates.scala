@@ -3,7 +3,7 @@ package graft.expr
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -54,9 +54,13 @@ case class BoundedIds(child: Expression, cap: Int,
                       mutableAggBufferOffset: Int = 0,
                       inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[BoundedIdsBuffer]
-  with UnaryLike[Expression] {
+  with UnaryLike[Expression] with ExpectsInputTypes {
 
   require(cap > 0, "graft_bounded_ids cap must be positive")
+
+  // analyzer-time contract: a non-BIGINT id column via the SQL registry
+  // would otherwise surface as a runtime ClassCastException in update()
+  override def inputTypes = Seq(LongType)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
